@@ -1,0 +1,57 @@
+"""Device-mesh construction for data/tensor parallel training.
+
+The framework scales over ICI with a 2-D logical mesh ``('data', 'model')``:
+batch is sharded over ``data``; optionally attention heads / MLP hidden units
+are sharded over ``model`` for the larger backbones (dinov2-large). XLA inserts
+the all-reduces — there is no hand-written communication backend (the reference
+has none either; it is single-device, /root/reference/train.py:236-242).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh shape. ``dp * tp`` must equal the device count in use."""
+
+    dp: int = 1
+    tp: int = 1
+
+
+def create_mesh(
+    spec: MeshSpec | None = None, devices: Sequence[jax.Device] | None = None
+) -> Mesh:
+    """Build a ``('data', 'model')`` mesh.
+
+    With no spec, all visible devices go to the data axis (pure DP — the
+    configuration the BASELINE north-star asks for).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if spec is None:
+        spec = MeshSpec(dp=len(devices), tp=1)
+    if spec.dp * spec.tp != len(devices):
+        raise ValueError(
+            f"Mesh {spec.dp}x{spec.tp} needs {spec.dp * spec.tp} devices, "
+            f"got {len(devices)}"
+        )
+    dev_array = np.asarray(devices).reshape(spec.dp, spec.tp)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for per-example arrays: leading axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
