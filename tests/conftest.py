@@ -6,7 +6,7 @@ module-level assignments (conftest is imported before any test module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep CPU runs deterministic and fast.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The environment's sitecustomize imports jax (registering the TPU plugin)
+# before conftest runs, so the env vars above can be too late — force the
+# config directly as well. Must happen before any backend is initialised.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
