@@ -1,0 +1,228 @@
+"""DINOv2 Vision Transformer backbone, re-designed for TPU in Flax.
+
+Weight-compatible with HuggingFace ``Dinov2Model`` (the backbone the reference
+loads at /root/reference/model/dinov2_pose.py:13): same parameter set — cls
+token, 37x37 learned position grid (image_size 518), patch-embed conv 14x14,
+pre-norm blocks with LayerScale, separate q/k/v projections, exact-GELU MLP,
+final LayerNorm. The checkpoint bridge (dino_pose_tpu.io.torch_bridge) maps the
+torch state-dict keys onto this module's parameter tree.
+
+TPU-first design choices (not a port):
+- Activations stay NHWC / channels-last end to end; the caller hands us NCHW
+  only at the public boundary for reference API parity.
+- Position-embedding interpolation (needed whenever input != 518x518; bicubic,
+  align_corners=False — transformers Dinov2Embeddings.interpolate_pos_encoding)
+  is expressed as two precomputed static resize matrices, i.e. two tiny matmuls
+  the MXU executes instead of a gather-based image resample.
+- Attention runs the fused single-block Pallas flash kernel on TPU
+  (dino_pose_tpu.ops.attention) with softmax kept on-chip.
+- Optional residual LoRA on the attention output (the reference's
+  ``LoRAAttention`` wraps only the last encoder layer,
+  /root/reference/model/dinov2_pose.py:197-204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_pose_tpu.nn import layers as L
+from dino_pose_tpu.ops.attention import attention
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    # Size of the pre-trained position grid (37 for DINOv2's 518x518).
+    pos_grid: int = 37
+    layer_norm_eps: float = 1e-6
+    layerscale_init: float = 1.0
+    hidden_dropout: float = 0.0
+    # LoRA: indices of encoder layers that get a residual output adapter.
+    lora_layers: tuple[int, ...] = ()
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.1
+    # 'bicubic' matches Dinov2; 'nearest' reproduces the reference's CoreML
+    # compatibility patch (/root/reference/model/dinov2_pose.py:56-113).
+    pos_interpolation: str = "bicubic"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_positions(self) -> int:
+        return self.pos_grid * self.pos_grid + 1
+
+
+# HF Dinov2Config values for the three registry backbones.
+VIT_PRESETS: dict[str, ViTConfig] = {
+    "facebook/dinov2-small": ViTConfig(hidden_size=384, num_layers=12, num_heads=6),
+    "facebook/dinov2-base": ViTConfig(hidden_size=768, num_layers=12, num_heads=12),
+    "facebook/dinov2-large": ViTConfig(hidden_size=1024, num_layers=24, num_heads=16),
+    # Tiny preset for tests / multi-chip dry runs.
+    "test/vit-tiny": ViTConfig(hidden_size=64, num_layers=2, num_heads=2, pos_grid=37),
+}
+
+
+class LoRAAdapter(nn.Module):
+    """Residual low-rank adapter: ``dropout(x @ A @ B) * (alpha / rank)``.
+
+    Matches the reference ``LoRALayer`` (/root/reference/model/lora.py:5-28)
+    including its init: A ~ kaiming-uniform(a=sqrt(5)) over shape (in, r) whose
+    torch fan-in is r, B = 0 (so the adapter starts as identity).
+    """
+
+    rank: int
+    alpha: float
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool) -> Array:
+        d = x.shape[-1]
+        a = self.param("lora_A", L.uniform_bound(1.0 / math.sqrt(self.rank)), (d, self.rank))
+        b = self.param("lora_B", nn.initializers.zeros, (self.rank, d))
+        h = jnp.dot(x, a.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+        h = jnp.dot(h, b.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+        h = L.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return h * (self.alpha / self.rank)
+
+
+class SelfAttention(nn.Module):
+    config: ViTConfig
+    use_lora: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool) -> Array:
+        cfg = self.config
+        b, s, d = x.shape
+        q = L.Dense(cfg.hidden_size, name="query")(x)
+        k = L.Dense(cfg.hidden_size, name="key")(x)
+        v = L.Dense(cfg.hidden_size, name="value")(x)
+
+        def split(t):
+            return t.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        ctx = attention(split(q), split(k), split(v), scale=cfg.head_dim**-0.5)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        out = L.Dense(cfg.hidden_size, name="out")(ctx)
+        if self.use_lora:
+            out = out + LoRAAdapter(
+                rank=cfg.lora_rank,
+                alpha=cfg.lora_alpha,
+                dropout=cfg.lora_dropout,
+                name="lora_output",
+            )(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    config: ViTConfig
+    use_lora: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool) -> Array:
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1")(x)
+        h = SelfAttention(cfg, use_lora=self.use_lora, name="attention")(
+            h, deterministic=deterministic
+        )
+        ls1 = self.param(
+            "layerscale1",
+            lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
+            (cfg.hidden_size,),
+        )
+        x = x + h * ls1.astype(h.dtype)
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2")(x)
+        h = L.Dense(cfg.hidden_size * cfg.mlp_ratio, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = L.Dense(cfg.hidden_size, name="fc2")(h)
+        ls2 = self.param(
+            "layerscale2",
+            lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
+            (cfg.hidden_size,),
+        )
+        return x + h * ls2.astype(h.dtype)
+
+
+class Dinov2Backbone(nn.Module):
+    """DINOv2 encoder. Input NHWC pixel values; returns all token embeddings.
+
+    ``__call__`` returns ``(tokens, patch_grid)`` where ``tokens`` is
+    (B, 1 + Hp*Wp, D) after the final LayerNorm and ``patch_grid`` the (Hp, Wp)
+    spatial shape of the patch tokens.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixels_nhwc: Array, *, deterministic: bool = True):
+        cfg = self.config
+        b, h, w, _ = pixels_nhwc.shape
+        hp, wp = h // cfg.patch_size, w // cfg.patch_size
+
+        x = L.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            name="patch_embed",
+        )(pixels_nhwc)
+        x = x.reshape(b, hp * wp, cfg.hidden_size)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, cfg.hidden_size)
+        )
+        # Present for HF checkpoint compatibility; unused in pose inference.
+        self.param("mask_token", nn.initializers.zeros, (1, cfg.hidden_size))
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(1.0),
+            (1, cfg.num_positions, cfg.hidden_size),
+        )
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, cfg.hidden_size)), x], axis=1)
+        x = x + self._interpolated_pos(pos, hp, wp).astype(x.dtype)
+        x = L.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        for i in range(cfg.num_layers):
+            x = Block(
+                cfg, use_lora=(i in cfg.lora_layers), name=f"layer{i}"
+            )(x, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
+        return x, (hp, wp)
+
+    def _interpolated_pos(self, pos: Array, hp: int, wp: int) -> Array:
+        cfg = self.config
+        g = cfg.pos_grid
+        if hp == g and wp == g:
+            return pos
+        cls_pos = pos[:, :1]
+        patch_pos = pos[:, 1:].reshape(1, g, g, cfg.hidden_size)
+        if cfg.pos_interpolation == "bicubic":
+            mh = jnp.asarray(L.cubic_resize_matrix(g, hp), pos.dtype)
+            mw = jnp.asarray(L.cubic_resize_matrix(g, wp), pos.dtype)
+        elif cfg.pos_interpolation == "nearest":
+            mh = jnp.asarray(L.nearest_resize_matrix(g, hp), pos.dtype)
+            mw = jnp.asarray(L.nearest_resize_matrix(g, wp), pos.dtype)
+        else:
+            raise ValueError(f"Unknown pos_interpolation: {cfg.pos_interpolation}")
+        # Interpolation in float32 regardless of activation dtype (matches HF).
+        patch_pos = jnp.einsum("oh,bhwd->bowd", mh, patch_pos.astype(jnp.float32))
+        patch_pos = jnp.einsum("pw,bowd->bopd", mw, patch_pos)
+        patch_pos = patch_pos.reshape(1, hp * wp, cfg.hidden_size).astype(pos.dtype)
+        return jnp.concatenate([cls_pos, patch_pos], axis=1)

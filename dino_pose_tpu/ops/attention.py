@@ -1,0 +1,113 @@
+"""Multi-head attention for short ViT sequences.
+
+The DINOv2 backbones run a fixed 257-token sequence (16x16 patches + CLS at
+224x224 input, /root/reference/model/dinov2_pose.py:147-151). That is small
+enough that an entire (S, S) score tile fits in VMEM, so the Pallas kernel is a
+"single-block flash attention": one fused QK^T -> masked softmax -> PV pass per
+(batch, head) program, with the sequence padded to a lane-aligned length and
+padding keys masked. No online-softmax bookkeeping is needed at this size and
+the softmax never round-trips through HBM.
+
+The backward pass reuses the XLA formulation via ``jax.custom_vjp`` (flash-style
+rematerialisation: probabilities are recomputed, not stored).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_NEG_INF = -1e30
+
+
+def xla_attention(q, k, v, scale: float):
+    """Reference attention. q,k,v: (B, H, S, D). Softmax in float32."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    q = q_ref[0]  # (Sp, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    sp = scores.shape[-1]
+    if valid_len < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < valid_len, scores, _NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        probs.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _pallas_forward(q, k, v, scale: float):
+    b, h, s, d = q.shape
+    sp = -(-s // _LANES) * _LANES  # pad sequence to lane multiple
+    pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
+    qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+
+    def reshape(t):
+        return t.reshape(b * h, sp, d)
+
+    qp, kp, vp = reshape(qp), reshape(kp), reshape(vp)
+    spec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, valid_len=s),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sp * sp * d,
+            bytes_accessed=4 * b * h * sp * d * q.dtype.itemsize,
+            transcendentals=b * h * sp * sp,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, sp, d)[:, :, :s, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: float):
+    return _pallas_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _pallas_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return flash_attention(q, k, v, scale)
+    return xla_attention(q, k, v, scale)
