@@ -120,6 +120,105 @@ def vit_rules(
     return rules
 
 
+def _conv_bn_rules(flax_base, torch_conv, torch_bn, *, deconv=False) -> list[Rule]:
+    """Rules for a Conv(Transpose)+BatchNorm pair.
+
+    ``flax_base`` addresses the block *module* path (without collection); BN
+    running stats live in the ``batch_stats`` collection.
+    """
+    kind = "convT" if deconv else "conv"
+    conv_name = "deconv" if deconv else "conv"
+    return [
+        Rule(("params",) + flax_base + (conv_name, "kernel"), f"{torch_conv}.weight", kind),
+        Rule(("params",) + flax_base + (conv_name, "bias"), f"{torch_conv}.bias"),
+        Rule(("params",) + flax_base + ("bn", "scale"), f"{torch_bn}.weight"),
+        Rule(("params",) + flax_base + ("bn", "bias"), f"{torch_bn}.bias"),
+        Rule(("batch_stats",) + flax_base + ("bn", "mean"), f"{torch_bn}.running_mean"),
+        Rule(("batch_stats",) + flax_base + ("bn", "var"), f"{torch_bn}.running_var"),
+    ]
+
+
+def spatial_heads_rules(
+    module_path: tuple[str, ...],
+    torch_prefix: str,
+    *,
+    num_up_stages: int = 2,
+    z_hidden_count: int = 3,
+) -> list[Rule]:
+    """Mapping for ``SpatialAwarePoseHeads`` vs the reference torch Sequential
+    index naming (/root/reference/model/pose_heads.py:287-400)."""
+    mp = module_path
+    hm = mp + ("heatmap_head",)
+    tp = torch_prefix
+    thm = f"{tp}heatmap_head."
+    hg = hm + ("hourglass",)
+    thg = f"{thm}feature_refine.3."
+    rules: list[Rule] = []
+    rules += _conv_bn_rules(hm + ("refine_in",), f"{thm}feature_refine.0", f"{thm}feature_refine.1")
+    rules += _conv_bn_rules(hg + ("dw",), f"{thg}depthwise_conv.0", f"{thg}depthwise_conv.1")
+    rules += _conv_bn_rules(hg + ("pw",), f"{thg}depthwise_conv.3", f"{thg}depthwise_conv.4")
+    rules += _conv_bn_rules(hg + ("down1",), f"{thg}down1.0", f"{thg}down1.1")
+    rules += _conv_bn_rules(hg + ("down2",), f"{thg}down2.0", f"{thg}down2.1")
+    rules += _conv_bn_rules(hg + ("btl1",), f"{thg}bottleneck.0", f"{thg}bottleneck.1")
+    rules += [
+        Rule(("params",) + hg + ("btl2_conv", "kernel"), f"{thg}bottleneck.3.weight", "conv"),
+        Rule(("params",) + hg + ("btl2_conv", "bias"), f"{thg}bottleneck.3.bias"),
+        Rule(("params",) + hg + ("btl2_bn", "scale"), f"{thg}bottleneck.4.weight"),
+        Rule(("params",) + hg + ("btl2_bn", "bias"), f"{thg}bottleneck.4.bias"),
+        Rule(("batch_stats",) + hg + ("btl2_bn", "mean"), f"{thg}bottleneck.4.running_mean"),
+        Rule(("batch_stats",) + hg + ("btl2_bn", "var"), f"{thg}bottleneck.4.running_var"),
+    ]
+    rules += _conv_bn_rules(hg + ("up1",), f"{thg}up1.0", f"{thg}up1.1", deconv=True)
+    rules += _conv_bn_rules(hg + ("up2",), f"{thg}up2.0", f"{thg}up2.1", deconv=True)
+    rules += _conv_bn_rules(hg + ("skip",), f"{thg}skip.0", f"{thg}skip.1")
+    rules += _conv_bn_rules(hm + ("refine_out",), f"{thm}feature_refine.4", f"{thm}feature_refine.5")
+    for j in range(num_up_stages):
+        rules += _conv_bn_rules(
+            hm + (f"up{j}",), f"{thm}upsampling.{j}.0", f"{thm}upsampling.{j}.1", deconv=True
+        )
+    rules += _conv_bn_rules(hm + ("pred_conv",), f"{thm}prediction.0", f"{thm}prediction.1")
+    rules += [
+        Rule(("params",) + hm + ("pred_out", "kernel"), f"{thm}prediction.3.weight", "conv"),
+        Rule(("params",) + hm + ("pred_out", "bias"), f"{thm}prediction.3.bias"),
+    ]
+    z = mp + ("z_head",)
+    tz = f"{tp}z_head.mlp."
+    for j in range(z_hidden_count):
+        rules += [
+            Rule(("params",) + z + (f"fc{j}", "kernel"), f"{tz}{3 * j}.weight", "linear"),
+            Rule(("params",) + z + (f"fc{j}", "bias"), f"{tz}{3 * j}.bias"),
+        ]
+    rules += [
+        Rule(("params",) + z + ("out", "kernel"), f"{tz}{3 * z_hidden_count}.weight", "linear"),
+        Rule(("params",) + z + ("out", "bias"), f"{tz}{3 * z_hidden_count}.bias"),
+    ]
+    return rules
+
+
+def dinov2_pose_rules(num_layers: int, lora_layers: Iterable[int] = ()) -> list[Rule]:
+    """Full-variable-tree mapping for ``DinoPoseModule`` checkpoints.
+
+    torch keys carry the reference prefixes: ``backbone.*`` for the ViT,
+    ``pose_heads.*`` for the heads (/root/reference/model/dinov2_pose.py:13,45).
+    """
+    rules = [
+        Rule(("params", "backbone") + r.flax_path, f"backbone.{r.torch_key}", r.kind)
+        for r in vit_rules(num_layers, lora_layers)
+    ]
+    rules += spatial_heads_rules(("pose_heads",), "pose_heads.")
+    return rules
+
+
+def num_batches_tracked_keys(rules: list[Rule]) -> list[str]:
+    """torch BatchNorm state dicts carry ``num_batches_tracked``; synthesise
+    the matching keys so exported checkpoints are byte-complete."""
+    return [
+        r.torch_key.replace(".running_mean", ".num_batches_tracked")
+        for r in rules
+        if r.torch_key.endswith(".running_mean")
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Apply rules
 # ---------------------------------------------------------------------------

@@ -146,6 +146,7 @@ class ConvTranspose(nn.Module):
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     padding: tuple[int, int] = (0, 0)
+    output_padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
 
     @nn.compact
@@ -155,9 +156,10 @@ class ConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", torch_kaiming_uniform(_convt_fan_in), (kh, kw, in_features, self.features)
         )
+        # torch's output_padding extends the bottom/right edge only.
         pad = [
-            (kh - 1 - self.padding[0], kh - 1 - self.padding[0]),
-            (kw - 1 - self.padding[1], kw - 1 - self.padding[1]),
+            (kh - 1 - self.padding[0], kh - 1 - self.padding[0] + self.output_padding[0]),
+            (kw - 1 - self.padding[1], kw - 1 - self.padding[1] + self.output_padding[1]),
         ]
         y = jax.lax.conv_general_dilated(
             x,
