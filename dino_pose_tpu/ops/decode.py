@@ -1,0 +1,55 @@
+"""Keypoint decoding from heatmaps — fused on device.
+
+The reference decodes on the host with numpy, one keypoint at a time
+(``weighted_max_loc``, /root/reference/src/model_utils.py:10-51): argmax, then
+an intensity-weighted centroid over the 5x5 window around it (half-pixel
+centres), scaled to the target image size. Here the same math runs as one
+vectorised XLA program over the whole (B, K) batch — masks from iota instead of
+window crops, so there is no data-dependent slicing and everything fuses.
+
+Boundary behaviour is identical: clamping the 5x5 crop at the image edge is
+exactly the ``|i - c| <= 2`` mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_WINDOW = 2  # reference `padding = 2` -> 5x5 window
+
+
+def decode_heatmaps(
+    heatmaps: Array, target_size: tuple[int, int] = (224, 224)
+) -> Array:
+    """(B, K, H, W) heatmaps -> (B, K, 2) keypoints in target (x, y) pixels."""
+    b, k, h, w = heatmaps.shape
+    hm = heatmaps.astype(jnp.float32)
+    flat_idx = jnp.argmax(hm.reshape(b, k, h * w), axis=-1)
+    cy = flat_idx // w
+    cx = flat_idx % w
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, k, h, w), 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, k, h, w), 3)
+    mask = (jnp.abs(rows - cy[..., None, None]) <= _WINDOW) & (
+        jnp.abs(cols - cx[..., None, None]) <= _WINDOW
+    )
+    win = jnp.where(mask, hm, 0.0)
+    total = jnp.sum(win, axis=(-2, -1))
+    loc_x = jnp.sum((cols.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
+    loc_y = jnp.sum((rows.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
+
+    tw, th = target_size
+    return jnp.stack([loc_x / w * tw, loc_y / h * th], axis=-1)
+
+
+def heatmap_confidences(heatmaps: Array) -> Array:
+    """Peak value per keypoint channel: (B, K, H, W) -> (B, K)."""
+    return jnp.max(heatmaps, axis=(-2, -1))
+
+
+@jax.jit
+def decode_heatmaps_224(heatmaps: Array) -> Array:
+    return decode_heatmaps(heatmaps, (224, 224))
