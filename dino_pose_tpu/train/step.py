@@ -1,0 +1,128 @@
+"""The pjit train/eval steps.
+
+Design: one jitted function per mode; the whole :class:`TrainState` is donated
+(buffers reused in place), the batch arrives sharded over the mesh ``data``
+axis, parameters are replicated (pure DP — the BASELINE north-star config) and
+XLA inserts the gradient all-reduce automatically from the shardings. Batch
+statistics are synchronised across replicas for free because the batch-axis
+reductions inside BatchNorm are global reductions over a sharded axis.
+
+Loss semantics match /root/reference/train.py:122-202: training minimises the
+EMA-balanced loss, validation reports ``kp + weight * z`` in eval mode (running
+BN stats, no dropout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dino_pose_tpu.train import weighting
+from dino_pose_tpu.train.losses import keypoint_loss, z_loss
+from dino_pose_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_train_step(module, tx) -> Callable:
+    def train_step(state: TrainState, batch: dict, lr: Array, rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+        confidence = batch["2d_keypoints"][..., 2]
+
+        def loss_fn(params):
+            (pred_hm, pred_z), mutated = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            kp_l = keypoint_loss(pred_hm, batch["2d_heatmaps"], confidence)
+            z_l = z_loss(pred_z, batch["z_coords"], confidence)
+            lw = weighting.update(state.loss_weight, kp_l, z_l)
+            loss = weighting.balanced_loss(lw, kp_l, z_l)
+            return loss, (kp_l, z_l, lw, mutated["batch_stats"])
+
+        (loss, (kp_l, z_l, lw, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        kp_c, z_c = weighting.loss_contributions(lw, kp_l, z_l)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            loss_weight=lw,
+        )
+        stats = {
+            "loss": loss,
+            "kp_loss": kp_l,
+            "z_loss": z_l,
+            "kp_contrib": kp_c,
+            "z_contrib": z_c,
+            "weight": lw.weight,
+        }
+        return new_state, stats
+
+    return train_step
+
+
+def make_eval_step(module) -> Callable:
+    def eval_step(state: TrainState, batch: dict):
+        confidence = batch["2d_keypoints"][..., 2]
+        pred_hm, pred_z = module.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+        )
+        kp_l = keypoint_loss(pred_hm, batch["2d_heatmaps"], confidence)
+        z_l = z_loss(pred_z, batch["z_coords"], confidence)
+        loss = weighting.validation_loss(state.loss_weight, kp_l, z_l)
+        return {
+            "loss": loss,
+            "kp_loss": kp_l,
+            "z_loss": z_l,
+            "pred_heatmaps": pred_hm,
+            "pred_z": pred_z,
+        }
+
+    return eval_step
+
+
+def shard_batch_spec(batch_like: dict) -> dict:
+    """PartitionSpec tree sharding the leading (batch) axis over 'data'."""
+    return jax.tree.map(lambda _: P("data"), batch_like)
+
+
+def jit_train_step(module, tx, mesh: Mesh | None = None):
+    """jit the train step, donating the state; shard the batch if given a mesh."""
+    step = make_train_step(module, tx)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    replicated = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(replicated, batch_sh, replicated, replicated),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def jit_eval_step(module, mesh: Mesh | None = None):
+    step = make_eval_step(module)
+    if mesh is None:
+        return jax.jit(step)
+    replicated = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(replicated, batch_sh))

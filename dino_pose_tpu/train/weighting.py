@@ -35,13 +35,14 @@ class LossWeightState:
 
     @classmethod
     def create(cls, initial_weight: float = 0.1) -> "LossWeightState":
-        w = jnp.asarray(initial_weight, jnp.float32)
+        # Distinct buffers (not one shared array): the whole state is donated
+        # to the jitted step, and XLA rejects donating a buffer twice.
         return cls(
-            weight=w,
+            weight=jnp.asarray(initial_weight, jnp.float32),
             kp_avg=jnp.asarray(0.0, jnp.float32),
             z_avg=jnp.asarray(0.0, jnp.float32),
             initialized=jnp.asarray(False),
-            best_weight=w,
+            best_weight=jnp.asarray(initial_weight, jnp.float32),
             best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
         )
 
