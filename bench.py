@@ -1,0 +1,157 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Primary metric: fine-tune throughput (images/sec/chip) for the reference's
+default training configuration — dinov2-small, 24 keypoints, LoRA r=8 +
+trainable pose heads (config/config.py of the reference) — on synthetic
+batches, bf16 activations, measured as jitted steady-state step time with
+``block_until_ready``. This isolates the compute path; the input pipeline is
+benchmarked separately (`--mode infer` reports p50 single-image latency).
+
+``vs_baseline``: BASELINE.json publishes no reference throughput (the torch
+scripts measure but never record one). The north-star target is >=5x an A100
+running the PyTorch reference; we document the denominator as an estimated
+400 images/sec for torch.compile'd dinov2-small LoRA fine-tuning at bs=32 on
+one A100, so vs_baseline == measured / 400 == "x-times the estimated A100
+reference" (target: >= 5.0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC = 400.0
+
+
+def synthetic_batch(batch_size: int, dtype):
+    rng = np.random.default_rng(0)
+    kps = rng.uniform(20, 200, (batch_size, 24, 3)).astype(np.float32)
+    kps[..., 2] = 2.0
+    return {
+        "image": rng.standard_normal((batch_size, 3, 224, 224)).astype(dtype),
+        "2d_heatmaps": rng.random((batch_size, 24, 48, 48)).astype(np.float32),
+        "2d_keypoints": kps,
+        "z_coords": rng.standard_normal((batch_size, 24)).astype(np.float32),
+    }
+
+
+def bench_train(batch_size: int, steps: int, model_name: str, use_lora: bool) -> dict:
+    from dino_pose_tpu.models import registry
+    from dino_pose_tpu.train.state import create_train_state
+    from dino_pose_tpu.train.step import jit_train_step
+
+    config = {
+        "model_name": model_name,
+        "num_keypoints": 24,
+        "output_heatmap_size": 48,
+        "unfreeze_last_n_layers": 4,
+        "use_lora": use_lora,
+        "lora_rank": 8,
+        "lora_alpha": 16,
+        "lora_dropout": 0.1,
+    }
+    model = registry.create_model_from_config(config, pretrained=False)
+    state, tx, part = create_train_state(model.variables, config, model.family)
+    step = jit_train_step(model.module, tx, part)
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batch = jax.device_put(synthetic_batch(batch_size, dtype))
+    lr = jnp.float32(3e-5)
+    key = jax.random.key(0)
+
+    for _ in range(3):  # warmup/compile
+        state, stats = step(state, batch, lr, key)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, stats = step(state, batch, lr, key)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    return {
+        "images_per_sec_per_chip": batch_size * steps / elapsed / n_chips,
+        "step_ms": elapsed / steps * 1000,
+        "batch_size": batch_size,
+        "backend": jax.default_backend(),
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+    }
+
+
+def bench_infer(model_name: str, iters: int = 50) -> dict:
+    from dino_pose_tpu.models import registry
+    from dino_pose_tpu.ops.decode import decode_heatmaps
+
+    model = registry.create_model_from_config(
+        {"model_name": model_name, "num_keypoints": 24, "output_heatmap_size": 48},
+        pretrained=False,
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    @jax.jit
+    def infer(variables, x):
+        hm, z = model.module.apply(variables, x, train=False)
+        return decode_heatmaps(hm, (224, 224)), z
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 224, 224)), dtype)
+    variables = model.variables
+    for _ in range(5):
+        out = infer(variables, x)
+    jax.block_until_ready(out)
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = infer(variables, x)
+        jax.block_until_ready(out)
+        lat.append((time.perf_counter() - t0) * 1000)
+    return {
+        "p50_latency_ms": statistics.median(lat),
+        "p90_latency_ms": statistics.quantiles(lat, n=10)[8],
+        "fps": 1000.0 / statistics.median(lat),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["train", "infer"], default="train")
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--model", default="facebook/dinov2-small")
+    ap.add_argument("--no-lora", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "train":
+        r = bench_train(args.batch_size, args.steps, args.model, not args.no_lora)
+        result = {
+            "metric": "finetune_images_per_sec_per_chip",
+            "value": round(r["images_per_sec_per_chip"], 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(
+                r["images_per_sec_per_chip"] / A100_REFERENCE_IMG_PER_SEC, 3
+            ),
+            "extra": r,
+        }
+    else:
+        r = bench_infer(args.model)
+        result = {
+            "metric": "infer_p50_latency_ms",
+            "value": round(r["p50_latency_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": round(r["fps"] / 80.0, 3),  # vs iPhone15Pro CoreML FPS
+            "extra": r,
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

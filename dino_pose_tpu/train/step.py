@@ -29,12 +29,16 @@ from dino_pose_tpu.train.state import TrainState
 Array = jax.Array
 
 
-def make_train_step(module, tx) -> Callable:
+def make_train_step(module, tx, partition) -> Callable:
     def train_step(state: TrainState, batch: dict, lr: Array, rng: Array):
         rng = jax.random.fold_in(rng, state.step)
         confidence = batch["2d_keypoints"][..., 2]
+        trainable0, frozen = partition.split(state.params)
 
-        def loss_fn(params):
+        def loss_fn(trainable):
+            # Differentiate only wrt the trainable subtree: XLA never builds
+            # the backward graph below the deepest trainable parameter.
+            params = partition.merge(trainable, frozen)
             (pred_hm, pred_z), mutated = module.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"],
@@ -50,11 +54,12 @@ def make_train_step(module, tx) -> Callable:
 
         (loss, (kp_l, z_l, lw, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(trainable0)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, trainable0)
         updates = jax.tree.map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_trainable = optax.apply_updates(trainable0, updates)
+        new_params = partition.merge(new_trainable, frozen)
 
         kp_c, z_c = weighting.loss_contributions(lw, kp_l, z_l)
         new_state = TrainState(
@@ -104,9 +109,9 @@ def shard_batch_spec(batch_like: dict) -> dict:
     return jax.tree.map(lambda _: P("data"), batch_like)
 
 
-def jit_train_step(module, tx, mesh: Mesh | None = None):
+def jit_train_step(module, tx, partition, mesh: Mesh | None = None):
     """jit the train step, donating the state; shard the batch if given a mesh."""
-    step = make_train_step(module, tx)
+    step = make_train_step(module, tx, partition)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     replicated = NamedSharding(mesh, P())

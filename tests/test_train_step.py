@@ -41,13 +41,13 @@ def build(config_extra=None):
     }
     config.update(config_extra or {})
     model = registry.create_model_from_config(config, pretrained=False)
-    state, tx = create_train_state(model.variables, config, model.family)
-    return model, state, tx, config
+    state, tx, part = create_train_state(model.variables, config, model.family)
+    return model, state, tx, part, config
 
 
 def test_overfit_single_batch(rng):
-    model, state, tx, config = build()
-    step = jit_train_step(model.module, tx)
+    model, state, tx, part, config = build()
+    step = jit_train_step(model.module, tx, part)
     batch = jax.tree.map(jnp.asarray, synthetic_batch(rng, 4))
     key = jax.random.key(0)
 
@@ -74,7 +74,7 @@ def test_overfit_single_batch(rng):
 
 
 def test_eval_step_runs(rng):
-    model, state, tx, _ = build()
+    model, state, tx, part, _ = build()
     estep = jit_eval_step(model.module)
     batch = jax.tree.map(jnp.asarray, synthetic_batch(rng, 2))
     out = estep(state, batch)
@@ -85,15 +85,15 @@ def test_eval_step_runs(rng):
 def test_data_parallel_step_on_mesh(rng):
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     mesh = create_mesh(MeshSpec(dp=8, tp=1))
-    model, state, tx, _ = build()
-    step = jit_train_step(model.module, tx, mesh=mesh)
+    model, state, tx, part, _ = build()
+    step = jit_train_step(model.module, tx, part, mesh=mesh)
     batch = jax.tree.map(jnp.asarray, synthetic_batch(rng, 8))
     state, stats = step(state, batch, jnp.float32(1e-3), jax.random.key(0))
     assert np.isfinite(float(stats["loss"]))
 
     # Same data on a single device must produce (numerically) the same loss:
-    model2, state2, tx2, _ = build()
-    step2 = jit_train_step(model2.module, tx2)
+    model2, state2, tx2, part2, _ = build()
+    step2 = jit_train_step(model2.module, tx2, part2)
     _, stats2 = step2(state2, batch, jnp.float32(1e-3), jax.random.key(0))
     np.testing.assert_allclose(
         float(stats["kp_loss"]), float(stats2["kp_loss"]), rtol=1e-4
@@ -101,8 +101,8 @@ def test_data_parallel_step_on_mesh(rng):
 
 
 def test_lora_training_only_updates_lora_and_heads(rng):
-    model, state, tx, config = build({"use_lora": True, "lora_rank": 4})
-    step = jit_train_step(model.module, tx)
+    model, state, tx, part, config = build({"use_lora": True, "lora_rank": 4})
+    step = jit_train_step(model.module, tx, part)
     batch = jax.tree.map(jnp.asarray, synthetic_batch(rng, 2))
     before = traverse_util.flatten_dict(jax.device_get(state.params))
     state, _ = step(state, batch, jnp.float32(1e-2), jax.random.key(1))
