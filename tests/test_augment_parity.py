@@ -7,6 +7,7 @@ global RNGs, run its pipeline, then replay the identical draws through our
 produced image bytes.
 """
 
+import importlib.machinery
 import importlib.util
 import math
 import pathlib
@@ -27,7 +28,15 @@ def load_reference():
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.transforms = types.ModuleType("torchvision.transforms")
+        # A module in sys.modules with __spec__ None makes importlib's
+        # find_spec raise ValueError, which breaks transformers' optional-
+        # dependency probing in other tests — give the stub a real spec.
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+        tv.transforms.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", loader=None
+        )
         sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
     spec = importlib.util.spec_from_file_location("ref_aug", REF)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
