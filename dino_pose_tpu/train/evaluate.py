@@ -1,0 +1,97 @@
+"""Dataset-level PCKh evaluation — batched, jitted, device-side decode.
+
+Reference protocol (/root/reference/src/model_utils.py:84-105): for every
+image, preprocess -> forward -> decode keypoints scaled to the *original*
+image size -> PCKh@0.5 against the raw annotation keypoints; z-PCKh on the
+un-normalised z predictions; report the per-image mean of both.
+
+The reference runs this serially, one image per forward with a host decode
+round-trip. Here images are preprocessed by the threaded loader, batched,
+and forward+decode+metric run as one jitted program per batch; only two
+scalars per image return to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_pose_tpu.data.coco import CocoPoseAnnotations, image_path
+from dino_pose_tpu.data.preprocess import create_preprocessor
+from dino_pose_tpu.models.pose import PoseModel
+from dino_pose_tpu.ops.decode import decode_heatmaps
+from dino_pose_tpu.train.metrics import pck_bbox, pckh_2d, pckh_z
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _eval_batch(module, variables, images, sizes, target_kps, target_z3d):
+    """One jitted forward + decode + metrics pass.
+
+    sizes: (B, 2) float32 original (W, H) per image — decode happens in
+    normalised [0,1] coordinates and is scaled per sample, so mixed-size
+    datasets still evaluate in one fixed-shape program.
+    """
+    heatmaps, pred_z = module.apply(variables, images, train=False)
+    norm = decode_heatmaps(heatmaps, (1.0, 1.0))
+    pred_kps = norm * sizes[:, None, :]
+    return {
+        "pckh": pckh_2d(pred_kps, target_kps),
+        "pckh_z": pckh_z(pred_z, target_z3d, target_kps),
+        "pck_bbox": pck_bbox(pred_kps, target_kps),
+    }
+
+
+def compute_pckh_dataset(
+    model: PoseModel,
+    images_dir_path,
+    annotation_json_path,
+    *,
+    batch_size: int = 32,
+    num_workers: int = 4,
+    return_all: bool = False,
+) -> tuple[float, float] | dict:
+    """Mean 2-D PCKh@0.5 and z-PCKh@0.5 over a COCO-format dataset.
+
+    Returns ``(pckh_2d, pckh_z)`` like the reference, or the full metric dict
+    (including PCK@0.2-bbox) with ``return_all=True``.
+    """
+    import concurrent.futures as cf
+
+    from PIL import Image
+
+    coco = CocoPoseAnnotations(annotation_json_path)
+    proc = create_preprocessor(model.model_name)
+
+    def load(idx: int):
+        rec = coco[idx]
+        img = Image.open(image_path(images_dir_path, rec)).convert("RGB")
+        pixels = proc(img)["pixel_values"][0]
+        return pixels, np.asarray(img.size, np.float32), rec.keypoints, rec.keypoints_z
+
+    sums = {"pckh": 0.0, "pckh_z": 0.0, "pck_bbox": 0.0}
+    n_total = len(coco)
+    with cf.ThreadPoolExecutor(max(1, num_workers)) as pool:
+        for start in range(0, n_total, batch_size):
+            idxs = range(start, min(start + batch_size, n_total))
+            rows = list(pool.map(load, idxs))
+            n = len(rows)
+            pad = batch_size - n
+            stack = lambda xs: np.stack(list(xs) + [np.zeros_like(xs[0])] * pad)
+            out = _eval_batch(
+                model.module,
+                model.variables,
+                jnp.asarray(stack([r[0] for r in rows])),
+                jnp.asarray(stack([r[1] for r in rows])),
+                jnp.asarray(stack([r[2] for r in rows])),
+                jnp.asarray(stack([r[3] for r in rows])),
+            )
+            for k in sums:
+                sums[k] += float(np.sum(np.asarray(out[k])[:n]))
+
+    means = {k: v / n_total for k, v in sums.items()}
+    if return_all:
+        return means
+    return means["pckh"], means["pckh_z"]

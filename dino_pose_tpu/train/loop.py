@@ -1,0 +1,312 @@
+"""The training loop: epochs, validation, PCKh-gated checkpointing, metrics.
+
+Control flow mirrors /root/reference/train.py:204-401 — initial PCKh
+baseline, per-epoch train + validation passes, ReduceLROnPlateau on the
+validation loss, best-weight tracking, PCKh-gated checkpoint saves every
+``save_freq`` epochs, a final save and a loss plot — with the TPU-native
+machinery underneath:
+
+- one donated, pjit-compiled train step (data-parallel over the mesh's
+  ``data`` axis; XLA inserts the gradient all-reduce),
+- Gaussian heatmap targets rendered on device inside the step,
+- the dynamic loss-weighting EMA carried in the jitted train state (no
+  per-step host syncs, unlike the reference's ``.item()`` calls at
+  train.py:154-158),
+- threaded host input pipeline with prefetch,
+- structured CSV metrics (loss components, contributions, weight, lr,
+  PCKh, images/sec) next to the checkpoints.
+
+Deliberately preserved reference quirks: validation batches are *augmented
+and shuffled* (the reference builds its val loader through the same
+``create_dataloaders``, train.py:222-231), and the loss plot/metrics use the
+same scalar definitions.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_pose_tpu.core.mesh import create_mesh
+from dino_pose_tpu.data.dataset import create_dataloaders
+from dino_pose_tpu.io import checkpoint as ck
+from dino_pose_tpu.models import registry
+from dino_pose_tpu.train import weighting
+from dino_pose_tpu.train.evaluate import compute_pckh_dataset
+from dino_pose_tpu.train.schedule import PlateauState, plateau_step
+from dino_pose_tpu.train.state import create_train_state
+from dino_pose_tpu.train.step import jit_eval_step, jit_train_step
+
+
+class MetricsWriter:
+    """Append-only CSV metrics log (SURVEY §5: structured observability)."""
+
+    FIELDS = [
+        "epoch", "train_loss", "train_kp_loss", "train_z_loss",
+        "val_loss", "val_kp_loss", "val_z_loss", "weight", "lr",
+        "images_per_sec", "pckh_2d", "pckh_3d",
+    ]
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.exists(path):
+            with open(path, "w", newline="") as f:
+                csv.DictWriter(f, self.FIELDS).writeheader()
+
+    def write(self, row: dict) -> None:
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, self.FIELDS, extrasaction="ignore").writerow(
+                {k: row.get(k, "") for k in self.FIELDS}
+            )
+
+
+def _epoch_mean(per_step: list) -> dict:
+    """One host transfer for a whole epoch of step statistics."""
+    if not per_step:
+        return {}
+    keys = per_step[0].keys()
+    stacked = {k: jnp.stack([s[k] for s in per_step]) for k in keys}
+    host = jax.device_get(stacked)
+    return {k: float(np.mean(v)) for k, v in host.items()}
+
+
+def fit(
+    config_dataset: dict,
+    config_training: dict,
+    config_preproc: dict,
+    config_model: dict,
+    *,
+    mesh=None,
+    export_pth: bool = True,
+    progress: bool = True,
+    num_epochs: int | None = None,
+) -> dict[str, Any]:
+    """Train a pose model end-to-end; returns the history dict.
+
+    ``export_pth`` additionally writes reference-schema ``.pth`` files next
+    to every native checkpoint so the PyTorch/CoreML toolchain can consume
+    them directly.
+    """
+    checkpoint_dir = config_training["checkpoint_dir"]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    mesh = mesh if mesh is not None else create_mesh()
+    print(f"Using mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"on {mesh.devices.flat[0].platform}")
+
+    print(f"Creating dataloader for {config_dataset['train_images_dir']}...")
+    train_loader = create_dataloaders(
+        config_preproc,
+        config_model,
+        images_dir_path=config_dataset["train_images_dir"],
+        annotation_json_path=config_dataset["train_annotation_json"],
+        batch_size=config_training["batch_size"],
+        num_workers=config_training.get("multiprocessing_num", 4),
+        render_targets=False,  # targets render on device inside the step
+    )
+    val_loader = None
+    if config_dataset.get("val_images_dir") and config_dataset.get("val_annotation_json"):
+        print(f"Creating dataloader for {config_dataset['val_images_dir']}...")
+        val_loader = create_dataloaders(
+            config_preproc,
+            config_model,
+            images_dir_path=config_dataset["val_images_dir"],
+            annotation_json_path=config_dataset["val_annotation_json"],
+            batch_size=config_training["batch_size"],
+            num_workers=config_training.get("multiprocessing_num", 4),
+            render_targets=False,
+        )
+
+    # Model: fresh or loaded from checkpoint (reference train.py:247-253).
+    print(f"Creating model {config_model['model_name']}...")
+    load_path = config_model.get("load_model") or ""
+    resume_ckpt = None
+    if load_path and load_path.endswith((".pth", ".msgpack")):
+        model = ck.load_model_smart(load_path, eval_mode=False)
+        resume_ckpt = ck.load_checkpoint(load_path)
+    else:
+        model = registry.create_model_from_config(config_model)
+    print(f"Trainable parameters: {model.count_parameters():,}")
+
+    state, tx, partition = create_train_state(
+        model.variables,
+        model.config_model,
+        model.family,
+        weight_decay=config_training.get("weight_decay", 1e-6),
+        initial_loss_weight=float(resume_ckpt.get("loss_weight", 0.1)) if resume_ckpt else 0.1,
+    )
+    scheduler = PlateauState(lr=float(config_training["learning_rate"]))
+    start_epoch = 0
+    if resume_ckpt is not None and load_path.endswith(".msgpack"):
+        state, scheduler, start_epoch = ck.restore_train_state(resume_ckpt, state, scheduler)
+        print(f"Resumed optimizer/scheduler state from epoch {start_epoch}")
+
+    device_targets = (model.input_size, model.heatmap_size)
+    train_step = jit_train_step(
+        model.module, tx, partition, mesh, device_targets=device_targets
+    )
+    eval_step = jit_eval_step(model.module, mesh, device_targets=device_targets)
+
+    metrics = MetricsWriter(os.path.join(checkpoint_dir, "metrics.csv"))
+    rng = jax.random.key(config_training.get("seed", 0))
+
+    def current_model():
+        # Zero-copy view: the live (device, replicated) training values.
+        model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model
+
+    def run_pckh():
+        return compute_pckh_dataset(
+            current_model(),
+            config_dataset["val_images_dir"],
+            config_dataset["val_annotation_json"],
+            batch_size=config_training["batch_size"],
+            num_workers=config_training.get("multiprocessing_num", 4),
+        )
+
+    history: dict[str, Any] = {"train_loss": [], "val_loss": []}
+    best_pckh_2d = best_pckh_3d = 0.0
+    if val_loader is not None:
+        best_pckh_2d, best_pckh_3d = run_pckh()
+        print(
+            f"Starting training with PCKh (2D): {best_pckh_2d:.4f}, "
+            f"PCKh (3D): {best_pckh_3d:.4f}"
+        )
+
+    total_epochs = num_epochs if num_epochs is not None else config_training["num_epochs"]
+    train_loss = val_loss = 0.0
+    for epoch in range(start_epoch, total_epochs):
+        # ---- train ----
+        t0 = time.time()
+        per_step = []
+        images = 0
+        bar = None
+        if progress:
+            from tqdm import tqdm
+
+            bar = tqdm(total=len(train_loader), desc=f"Epoch {epoch + 1} Training", leave=False)
+        lr = jnp.asarray(scheduler.lr, jnp.float32)
+        for i, batch in enumerate(train_loader):
+            state, stats = train_step(state, batch, lr, rng)
+            per_step.append(stats)
+            images += len(batch["image"])
+            if bar is not None:
+                bar.update(1)
+                if (i + 1) % 10 == 0:
+                    snap = jax.device_get(stats)
+                    bar.set_postfix(
+                        loss=f"{float(snap['loss']):.6f}",
+                        kp_loss=f"{float(snap['kp_loss']):.6f}",
+                        z_loss=f"{float(snap['z_loss']):.6f}",
+                        weight=f"{float(snap['weight']):.4f}",
+                    )
+        if bar is not None:
+            bar.close()
+        train_stats = _epoch_mean(per_step)
+        elapsed = time.time() - t0
+        images_per_sec = images / elapsed if elapsed > 0 else 0.0
+        train_loss = train_stats.get("loss", 0.0)
+        history["train_loss"].append(train_loss)
+        print(
+            f"Epoch {epoch + 1} - Loss: {train_loss:.4f}, "
+            f"Keypoint Loss: {train_stats.get('kp_loss', 0.0):.4f}, "
+            f"3D Loss: {train_stats.get('z_loss', 0.0):.4f}, "
+            f"Elapsed Time: {elapsed:.2f}s ({images_per_sec:.1f} img/s)"
+        )
+
+        # ---- validation ----
+        val_stats = {}
+        if val_loader is not None:
+            per_step = []
+            for batch in val_loader:
+                out = eval_step(state, batch)
+                per_step.append({k: out[k] for k in ("loss", "kp_loss", "z_loss")})
+            val_stats = _epoch_mean(per_step)
+            val_loss = val_stats.get("loss", 0.0)
+            history["val_loss"].append(val_loss)
+            print(
+                f"Validation - Loss: {val_loss:.4f}, "
+                f"Keypoint Loss: {val_stats.get('kp_loss', 0.0):.4f}, "
+                f"3D Loss: {val_stats.get('z_loss', 0.0):.4f}"
+            )
+            scheduler = plateau_step(scheduler, val_loss)
+            state = state.replace(
+                loss_weight=weighting.update_best(
+                    state.loss_weight, jnp.asarray(val_loss, jnp.float32)
+                )
+            )
+
+        row = {
+            "epoch": epoch + 1,
+            "train_loss": train_loss,
+            "train_kp_loss": train_stats.get("kp_loss", ""),
+            "train_z_loss": train_stats.get("z_loss", ""),
+            "val_loss": val_stats.get("loss", ""),
+            "val_kp_loss": val_stats.get("kp_loss", ""),
+            "val_z_loss": val_stats.get("z_loss", ""),
+            "weight": train_stats.get("weight", ""),
+            "lr": scheduler.lr,
+            "images_per_sec": round(images_per_sec, 2),
+        }
+
+        # ---- PCKh-gated checkpointing (reference train.py:346-372) ----
+        if (epoch + 1) % config_training["save_freq"] == 0 and val_loader is not None:
+            p2d, p3d = run_pckh()
+            print(f"Epoch {epoch + 1} - PCKh (2D): {p2d:.4f}, PCKh (3D): {p3d:.4f}")
+            row["pckh_2d"], row["pckh_3d"] = round(p2d, 6), round(p3d, 6)
+            if p2d > best_pckh_2d or p3d > best_pckh_3d:
+                base = os.path.join(checkpoint_dir, f"best_model_{epoch + 1}")
+                _save(base, current_model(), state, epoch, train_loss, val_loss,
+                      config_training, config_preproc, scheduler, export_pth)
+            best_pckh_2d = max(best_pckh_2d, p2d)
+            best_pckh_3d = max(best_pckh_3d, p3d)
+        metrics.write(row)
+
+    # ---- final save + loss plot (reference train.py:374-399) ----
+    base = os.path.join(checkpoint_dir, "final_model")
+    _save(base, current_model(), state, total_epochs, train_loss, val_loss,
+          config_training, config_preproc, scheduler, export_pth)
+    _plot_losses(history, checkpoint_dir)
+    print("Training complete!")
+    history["state"] = state
+    history["model"] = current_model()
+    history["best_pckh_2d"] = best_pckh_2d
+    history["best_pckh_3d"] = best_pckh_3d
+    return history
+
+
+def _save(base, model, state, epoch, train_loss, val_loss,
+          config_training, config_preproc, scheduler, export_pth):
+    kw = dict(
+        state=state, epoch=epoch, train_loss=train_loss, valid_loss=val_loss,
+        config_training=config_training, config_preproc=config_preproc,
+        scheduler=scheduler,
+    )
+    ck.save_checkpoint(base + ".msgpack", model, **kw)
+    if export_pth:
+        ck.save_checkpoint(base + ".pth", model, **kw)
+
+
+def _plot_losses(history: dict, checkpoint_dir: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    plt.figure(figsize=(10, 5))
+    plt.plot(history["train_loss"], label="Train Loss")
+    if history["val_loss"]:
+        plt.plot(history["val_loss"], label="Validation Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.legend()
+    plt.title("Training and Validation Losses")
+    plt.savefig(os.path.join(checkpoint_dir, "loss_plot.png"))
+    plt.close()

@@ -109,9 +109,41 @@ def shard_batch_spec(batch_like: dict) -> dict:
     return jax.tree.map(lambda _: P("data"), batch_like)
 
 
-def jit_train_step(module, tx, partition, mesh: Mesh | None = None):
-    """jit the train step, donating the state; shard the batch if given a mesh."""
+def _with_device_targets(step_fn: Callable, input_size: int, heatmap_size: int) -> Callable:
+    """Wrap a step so Gaussian heatmap targets are rendered *inside* the
+    jitted program from the (B, K, 3) keypoints — the host never materialises
+    or transfers the (B, K, hs, hs) target tensor (SURVEY §7 step 4)."""
+    from dino_pose_tpu.data.heatmaps import render_heatmaps
+
+    def wrapped(state, batch, *rest):
+        batch = dict(batch)
+        batch["2d_heatmaps"] = render_heatmaps(
+            batch["2d_keypoints"],
+            height=input_size,
+            width=input_size,
+            heatmap_size=heatmap_size,
+        )
+        return step_fn(state, batch, *rest)
+
+    return wrapped
+
+
+def jit_train_step(
+    module,
+    tx,
+    partition,
+    mesh: Mesh | None = None,
+    *,
+    device_targets: tuple[int, int] | None = None,
+):
+    """jit the train step, donating the state; shard the batch if given a mesh.
+
+    ``device_targets=(input_size, heatmap_size)`` fuses heatmap-target
+    rendering into the step (batches then carry keypoints, not heatmaps).
+    """
     step = make_train_step(module, tx, partition)
+    if device_targets is not None:
+        step = _with_device_targets(step, *device_targets)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     replicated = NamedSharding(mesh, P())
@@ -124,8 +156,15 @@ def jit_train_step(module, tx, partition, mesh: Mesh | None = None):
     )
 
 
-def jit_eval_step(module, mesh: Mesh | None = None):
+def jit_eval_step(
+    module,
+    mesh: Mesh | None = None,
+    *,
+    device_targets: tuple[int, int] | None = None,
+):
     step = make_eval_step(module)
+    if device_targets is not None:
+        step = _with_device_targets(step, *device_targets)
     if mesh is None:
         return jax.jit(step)
     replicated = NamedSharding(mesh, P())

@@ -1,0 +1,103 @@
+"""End-to-end training loop test: synthetic COCO data, tiny model, 8-dev mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dino_pose_tpu.config import get_default_configs
+
+K = 24
+N_IMAGES = 16
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_e2e")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(N_IMAGES):
+        w = h = 256
+        Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)).save(
+            root / "images" / f"{i}.jpg"
+        )
+        kps = np.stack(
+            [rng.uniform(40, w - 40, K), rng.uniform(40, h - 40, K), np.full(K, 2.0)],
+            axis=1,
+        )
+        images.append({"id": i, "file_name": f"{i}.jpg", "width": w, "height": h})
+        annotations.append(
+            {
+                "id": i,
+                "image_id": i,
+                "num_keypoints": K,
+                "keypoints": kps.reshape(-1).tolist(),
+                "keypoints_z": rng.uniform(-40, 40, K).tolist(),
+            }
+        )
+    (root / "ann.json").write_text(json.dumps({"images": images, "annotations": annotations}))
+    return root
+
+
+def make_configs(workdir, ckpt_dir, **model_overrides):
+    config_dataset, config_training, config_preproc, config_model = get_default_configs()
+    config_dataset.update(
+        train_images_dir=str(workdir / "images"),
+        train_annotation_json=str(workdir / "ann.json"),
+        val_images_dir=str(workdir / "images"),
+        val_annotation_json=str(workdir / "ann.json"),
+    )
+    config_training.update(
+        batch_size=8, num_epochs=2, save_freq=1, checkpoint_dir=str(ckpt_dir),
+        multiprocessing_num=2, learning_rate=1e-3,
+    )
+    config_model.update(
+        model_name="test/vit-tiny", use_lora=True, unfreeze_last_n_layers=0,
+        **model_overrides,
+    )
+    return config_dataset, config_training, config_preproc, config_model
+
+
+def test_fit_end_to_end(workdir, tmp_path_factory):
+    from dino_pose_tpu.train.loop import fit
+
+    ckpt_dir = tmp_path_factory.mktemp("ckpts")
+    cfgs = make_configs(workdir, ckpt_dir)
+    history = fit(*cfgs, progress=False, export_pth=True)
+
+    assert len(history["train_loss"]) == 2
+    assert len(history["val_loss"]) == 2
+    assert all(np.isfinite(x) for x in history["train_loss"])
+    assert os.path.exists(ckpt_dir / "final_model.msgpack")
+    assert os.path.exists(ckpt_dir / "final_model.pth")
+    assert os.path.exists(ckpt_dir / "loss_plot.png")
+    assert os.path.exists(ckpt_dir / "metrics.csv")
+    with open(ckpt_dir / "metrics.csv") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 epochs
+    assert lines[0].startswith("epoch,train_loss")
+
+    # Resume: point load_model at the final native checkpoint.
+    cfgs[3]["load_model"] = str(ckpt_dir / "final_model.msgpack")
+    history2 = fit(*cfgs, progress=False, export_pth=False, num_epochs=3)
+    assert len(history2["train_loss"]) == 1  # epochs 2 -> 3
+
+
+def test_fit_overfits_one_batch(workdir, tmp_path_factory):
+    """Loss must drop substantially when overfitting a single batch."""
+    from dino_pose_tpu.train.loop import fit
+
+    ckpt_dir = tmp_path_factory.mktemp("ckpts_overfit")
+    cfgs = make_configs(workdir, ckpt_dir)
+    cfgs[1].update(num_epochs=8, save_freq=100, learning_rate=3e-3)
+    # single batch: 8 of the 16 images
+    cfgs[2].update(  # disable randomness so every epoch sees the same batch
+        is_scale=False, is_rotate=False, is_flipping=False, is_occultation=False
+    )
+    cfgs[0].update(val_images_dir="", val_annotation_json="")
+    history = fit(*cfgs, progress=False, export_pth=False)
+    losses = history["train_loss"]
+    assert losses[-1] < losses[0] * 0.7, losses
