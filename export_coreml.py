@@ -1,0 +1,7 @@
+#!/usr/bin/env python3
+"""Root-level wrapper matching the reference repo's CLI layout."""
+
+from dino_pose_tpu.cli.export_coreml import main
+
+if __name__ == "__main__":
+    main()
