@@ -1,0 +1,402 @@
+"""FastViT backbone in Flax (hybrid conv/attention, RepMixer stages).
+
+Re-implements the architecture the reference consumes via
+``timm.create_model('fastvit_*')`` (/root/reference/model/fastvit_pose.py:21)
+— Apple's FastViT: a convolutional stem, four stages of RepMixer (or, in the
+SA/MA variants, self-attention in the last stage) blocks with ConvFFN MLPs,
+reparameterisable-conv patch embeddings between stages, and a final
+SE-augmented expansion conv (dims[-1] -> 2*dims[-1], the "384 -> 768" of
+fastvit_pose.py:79).
+
+TPU-first choices:
+
+- Everything is NHWC; depthwise convs map to XLA's grouped convolutions.
+- The multi-branch "MobileOne" blocks are expressed in their *training-time*
+  branch form (kxk conv + 1x1 scale branch + identity BN); XLA fuses the
+  branch adds into the surrounding elementwise graph, so there is no runtime
+  reparameterisation step to manage and checkpoints keep the full training
+  parameterisation. ``fuse_mobileone_params`` (below) provides the algebraic
+  k x k single-conv fusion for deployment-time export.
+- Attention stages flatten (H, W) to one token axis and reuse the same
+  fused attention op as the ViT (dino_pose_tpu.ops.attention).
+
+LoRA (reference semantics, /root/reference/model/lora.py:68-149): 1x1-conv
+adapter pairs on *every* ConvFFN fc1/fc2 across all stages; base weights stay
+frozen via the trainer's optimizer mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dino_pose_tpu.nn import layers as L
+from dino_pose_tpu.ops.attention import attention as fused_attention
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FastViTConfig:
+    embed_dims: tuple[int, ...] = (48, 96, 192, 384)
+    depths: tuple[int, ...] = (2, 2, 4, 2)
+    mlp_ratios: tuple[float, ...] = (3.0, 3.0, 3.0, 3.0)
+    token_mixers: tuple[str, ...] = ("repmixer",) * 4
+    pos_embs: tuple[bool, ...] = (False, False, False, False)  # RepCPE per stage
+    layer_scale_init: float = 1e-5
+    attn_head_dim: int = 32
+    final_se: bool = True
+    # LoRA over ConvFFN fc1/fc2 (0 = disabled).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.1
+
+    @property
+    def out_channels(self) -> int:
+        return 2 * self.embed_dims[-1]
+
+
+_SA = dict(
+    embed_dims=(64, 128, 256, 512),
+    mlp_ratios=(4.0,) * 4,
+    token_mixers=("repmixer", "repmixer", "repmixer", "attention"),
+    pos_embs=(False, False, False, True),
+)
+
+FASTVIT_PRESETS: dict[str, FastViTConfig] = {
+    "t8": FastViTConfig(),
+    "t12": FastViTConfig(embed_dims=(64, 128, 256, 512), depths=(2, 2, 6, 2)),
+    "s12": FastViTConfig(
+        embed_dims=(64, 128, 256, 512), depths=(2, 2, 6, 2), mlp_ratios=(4.0,) * 4
+    ),
+    "sa12": FastViTConfig(depths=(2, 2, 6, 2), **_SA),
+    "sa24": FastViTConfig(depths=(4, 4, 12, 4), **_SA),
+    "sa36": FastViTConfig(depths=(6, 6, 18, 6), **_SA),
+    "ma36": FastViTConfig(
+        depths=(6, 6, 18, 6),
+        embed_dims=(76, 152, 304, 608),
+        mlp_ratios=(4.0,) * 4,
+        token_mixers=("repmixer", "repmixer", "repmixer", "attention"),
+        pos_embs=(False, False, False, True),
+    ),
+    # Tiny preset for tests.
+    "test-tiny": FastViTConfig(
+        embed_dims=(8, 16, 32, 64),
+        depths=(1, 1, 1, 1),
+        token_mixers=("repmixer", "repmixer", "repmixer", "attention"),
+        pos_embs=(False, False, False, True),
+        attn_head_dim=16,
+    ),
+}
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excite (rd_ratio 1/16, conv-parameterised like the original)."""
+
+    rd_ratio: float = 1.0 / 16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        rd = max(1, int(c * self.rd_ratio))
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = L.Conv(rd, kernel_size=(1, 1), name="reduce")(s)
+        s = nn.relu(s)
+        s = L.Conv(c, kernel_size=(1, 1), name="expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class MobileOneBlock(nn.Module):
+    """Multi-branch re-parameterisable conv block.
+
+    branches: ``num_conv_branches`` x (kxk conv + BN), a (1x1 conv + BN) scale
+    branch when kernel > 1, and an identity BN branch when shapes allow;
+    summed, optionally SE'd, optionally activated (GELU).
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    use_act: bool = True
+    use_se: bool = False
+    use_scale_branch: bool = True
+    num_conv_branches: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        k, s = self.kernel_size, self.strides
+        in_ch = x.shape[-1]
+        out = 0.0
+        for b in range(self.num_conv_branches):
+            y = L.Conv(
+                self.features, kernel_size=(k, k), strides=(s, s),
+                padding=(k // 2, k // 2), feature_group_count=self.groups,
+                use_bias=False, name=f"conv{b}",
+            )(x)
+            out = out + L.BatchNorm(name=f"conv{b}_bn")(y, use_running_average=not train)
+        if self.use_scale_branch and k > 1:
+            y = L.Conv(
+                self.features, kernel_size=(1, 1), strides=(s, s), padding=(0, 0),
+                feature_group_count=self.groups, use_bias=False, name="scale",
+            )(x)
+            out = out + L.BatchNorm(name="scale_bn")(y, use_running_average=not train)
+        if in_ch == self.features and s == 1:
+            out = out + L.BatchNorm(name="skip_bn")(x, use_running_average=not train)
+        if self.use_se:
+            out = SEBlock(name="se")(out)
+        return nn.gelu(out, approximate=False) if self.use_act else out
+
+
+class ReparamLargeKernelConv(nn.Module):
+    """Large-kernel depthwise conv with a parallel small-kernel branch."""
+
+    features: int
+    kernel_size: int = 7
+    strides: int = 2
+    groups: int = 1
+    small_kernel: int = 3
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        k, s = self.kernel_size, self.strides
+        y = L.Conv(
+            self.features, kernel_size=(k, k), strides=(s, s),
+            padding=(k // 2, k // 2), feature_group_count=self.groups,
+            use_bias=False, name="large",
+        )(x)
+        out = L.BatchNorm(name="large_bn")(y, use_running_average=not train)
+        sk = self.small_kernel
+        y = L.Conv(
+            self.features, kernel_size=(sk, sk), strides=(s, s),
+            padding=(sk // 2, sk // 2), feature_group_count=self.groups,
+            use_bias=False, name="small",
+        )(x)
+        out = out + L.BatchNorm(name="small_bn")(y, use_running_average=not train)
+        return nn.gelu(out, approximate=False) if self.use_act else out
+
+
+class PatchEmbed(nn.Module):
+    """Between-stage downsample: 7x7 reparam depthwise s2 + 1x1 MobileOne."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        x = ReparamLargeKernelConv(
+            self.features, kernel_size=7, strides=2, groups=x.shape[-1],
+            small_kernel=3, name="proj",
+        )(x, train=train)
+        x = MobileOneBlock(
+            self.features, kernel_size=1, strides=1, name="mix",
+        )(x, train=train)
+        return x
+
+
+class RepCPE(nn.Module):
+    """Conditional positional encoding: x + depthwise 7x7 conv(x)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        return x + L.Conv(
+            c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
+            use_bias=True, name="pe",
+        )(x)
+
+
+class ConvLoRA(nn.Module):
+    """1x1-conv LoRA adapter pair (reference ConvLoRA, lora.py:68-121)."""
+
+    rank: int
+    alpha: float
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: Array, out_features: int, *, deterministic: bool) -> Array:
+        y = L.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
+            x, deterministic=deterministic
+        )
+        y = L.Conv(self.rank, kernel_size=(1, 1), use_bias=False, name="lora_A")(y)
+        y = nn.Conv(
+            out_features, kernel_size=(1, 1), use_bias=False,
+            kernel_init=nn.initializers.zeros, name="lora_B",
+        )(y)
+        return y * (self.alpha / self.rank)
+
+
+class ConvFFN(nn.Module):
+    """7x7 depthwise conv + BN, then 1x1 fc1 -> GELU -> 1x1 fc2."""
+
+    hidden: int
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        c = x.shape[-1]
+        y = L.Conv(
+            c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
+            use_bias=False, name="conv",
+        )(x)
+        y = L.BatchNorm(name="conv_bn")(y, use_running_average=not train)
+        h = L.Conv(self.hidden, kernel_size=(1, 1), name="fc1")(y)
+        if self.lora_rank > 0:
+            h = h + ConvLoRA(
+                self.lora_rank, self.lora_alpha, self.lora_dropout, name="fc1_lora"
+            )(y, self.hidden, deterministic=not train)
+        h = nn.gelu(h, approximate=False)
+        out = L.Conv(c, kernel_size=(1, 1), name="fc2")(h)
+        if self.lora_rank > 0:
+            out = out + ConvLoRA(
+                self.lora_rank, self.lora_alpha, self.lora_dropout, name="fc2_lora"
+            )(h, c, deterministic=not train)
+        return out
+
+
+class RepMixer(nn.Module):
+    """Token mixing: x + ls * (mixer(x) - norm(x)); mixer = depthwise
+    MobileOne (no act), norm = identity-BN branch only."""
+
+    layer_scale_init: float
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        c = x.shape[-1]
+        mixed = MobileOneBlock(
+            c, kernel_size=3, groups=c, use_act=False, name="mixer"
+        )(x, train=train)
+        normed = MobileOneBlock(
+            c, kernel_size=3, groups=c, use_act=False,
+            use_scale_branch=False, num_conv_branches=0, name="norm",
+        )(x, train=train)
+        ls = self.param(
+            "layer_scale", nn.initializers.constant(self.layer_scale_init), (c,)
+        )
+        return x + ls * (mixed - normed)
+
+
+class SpatialAttention(nn.Module):
+    """MHSA over the flattened spatial grid (BN pre-norm, FastViT-style)."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        b, h, w, c = x.shape
+        num_heads = max(1, c // self.head_dim)
+        y = L.BatchNorm(name="norm")(x, use_running_average=not train)
+        t = y.reshape(b, h * w, c)
+        qkv = L.Dense(3 * c, use_bias=False, name="qkv")(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, h * w, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+        o = fused_attention(heads(q), heads(k), heads(v), scale=self.head_dim**-0.5)
+        o = o.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        o = L.Dense(c, name="proj")(o)
+        return o.reshape(b, h, w, c)
+
+
+class FastViTBlock(nn.Module):
+    mixer: str  # "repmixer" | "attention"
+    mlp_ratio: float
+    cfg: FastViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        c = x.shape[-1]
+        ls_init = self.cfg.layer_scale_init
+        if self.mixer == "repmixer":
+            x = RepMixer(ls_init, name="token_mixer")(x, train=train)
+        else:
+            ls1 = self.param("layer_scale_1", nn.initializers.constant(ls_init), (c,))
+            x = x + ls1 * SpatialAttention(
+                self.cfg.attn_head_dim, name="attn"
+            )(x, train=train)
+        ls2 = self.param("layer_scale_2", nn.initializers.constant(ls_init), (c,))
+        x = x + ls2 * ConvFFN(
+            hidden=int(c * self.mlp_ratio),
+            lora_rank=self.cfg.lora_rank,
+            lora_alpha=self.cfg.lora_alpha,
+            lora_dropout=self.cfg.lora_dropout,
+            name="mlp",
+        )(x, train=train)
+        return x
+
+
+class FastViTBackbone(nn.Module):
+    """stem -> 4 stages -> final SE conv; returns the NHWC feature map
+    (B, H/32, W/32, 2 * embed_dims[-1])."""
+
+    cfg: FastViTConfig
+
+    @nn.compact
+    def __call__(self, pixels_nhwc: Array, *, train: bool = False) -> Array:
+        cfg = self.cfg
+        d0 = cfg.embed_dims[0]
+        x = MobileOneBlock(d0, 3, strides=2, name="stem0")(pixels_nhwc, train=train)
+        x = MobileOneBlock(d0, 3, strides=2, groups=d0, name="stem1")(x, train=train)
+        x = MobileOneBlock(d0, 1, strides=1, name="stem2")(x, train=train)
+
+        for i, (dim, depth) in enumerate(zip(cfg.embed_dims, cfg.depths)):
+            if i > 0:
+                x = PatchEmbed(dim, name=f"downsample{i}")(x, train=train)
+            if cfg.pos_embs[i]:
+                x = RepCPE(name=f"pos_emb{i}")(x)
+            for j in range(depth):
+                x = FastViTBlock(
+                    mixer=cfg.token_mixers[i],
+                    mlp_ratio=cfg.mlp_ratios[i],
+                    cfg=cfg,
+                    name=f"stage{i}_block{j}",
+                )(x, train=train)
+
+        x = MobileOneBlock(
+            cfg.out_channels, 3, strides=1, groups=cfg.embed_dims[-1],
+            use_se=cfg.final_se, name="final_conv",
+        )(x, train=train)
+        return x
+
+
+def fuse_mobileone_params(
+    conv_kernel, conv_bn, scale_kernel=None, scale_bn=None, skip_bn=None, eps=1e-5
+):
+    """Algebraic branch fusion for deployment: returns (kernel kxk, bias).
+
+    Each (conv, BN) branch folds to conv' = conv * gamma/sqrt(var+eps),
+    bias' = beta - mean * gamma/sqrt(var+eps); the 1x1 scale branch zero-pads
+    to kxk; the identity BN branch is a centred-dirac kxk conv. Branches sum.
+    All arrays are HWIO numpy/JAX.
+    """
+    import numpy as np
+
+    def fold(kernel, bn):
+        gamma, beta = np.asarray(bn["scale"]), np.asarray(bn["bias"])
+        mean, var = np.asarray(bn["mean"]), np.asarray(bn["var"])
+        std = np.sqrt(var + eps)
+        return kernel * (gamma / std), beta - mean * gamma / std
+
+    k, b = fold(np.asarray(conv_kernel), conv_bn)
+    kh = k.shape[0]
+    if scale_kernel is not None:
+        ks, bs = fold(np.asarray(scale_kernel), scale_bn)
+        pad = kh // 2
+        ks_full = np.zeros_like(k)
+        ks_full[pad : pad + 1, pad : pad + 1] = ks
+        k, b = k + ks_full, b + bs
+    if skip_bn is not None:
+        in_g, out = k.shape[2], k.shape[3]
+        ident = np.zeros_like(k)
+        for o in range(out):
+            ident[kh // 2, kh // 2, o % in_g, o] = 1.0
+        ki, bi = fold(ident, skip_bn)
+        k, b = k + ki, b + bi
+    return k, b

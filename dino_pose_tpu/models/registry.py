@@ -50,8 +50,12 @@ BACKBONE_REGISTRY: dict[str, BackboneEntry] = {
     "timm/fastvit_sa12.apple_in1k": BackboneEntry("fastvit", dict(_FASTVIT_DEFAULT), "sa12"),
     "timm/fastvit_sa24.apple_in1k": BackboneEntry("fastvit", dict(_FASTVIT_DEFAULT), "sa24"),
     "timm/fastvit_sa36.apple_in1k": BackboneEntry("fastvit", dict(_FASTVIT_DEFAULT), "sa36"),
-    # Tiny backbone for tests and the multi-chip dry run.
+    # Tiny backbones for tests and the multi-chip dry run.
     "test/vit-tiny": BackboneEntry("dinov2", dict(_DINO_DEFAULT)),
+    # input 128 -> 4x4 stride-32 map, the smallest the hourglass heads accept.
+    "test/fastvit-tiny": BackboneEntry(
+        "fastvit", dict(_FASTVIT_DEFAULT, input_size=128), "test-tiny"
+    ),
 }
 
 FAMILY_DEFAULTS: dict[str, str] = {
