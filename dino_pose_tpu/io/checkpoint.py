@@ -53,6 +53,8 @@ def rules_for_model(model: PoseModel) -> list[tb.Rule]:
     if model.family == "dinov2":
         vit_cfg = model.module.vit
         return tb.dinov2_pose_rules(vit_cfg.num_layers, vit_cfg.lora_layers)
+    if model.family == "fastvit":
+        return tb.fastvit_pose_rules(model.module.cfg)
     raise NotImplementedError(f"No torch bridge rules for family {model.family}")
 
 

@@ -48,6 +48,8 @@ def _to_flax(w: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
     if kind == "convT":
         return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+    if kind == "scale2d":  # torch LayerScale (C, 1, 1) -> flax (C,)
+        return np.asarray(w).reshape(-1)
     return np.asarray(w)
 
 
@@ -58,6 +60,8 @@ def _to_torch(w: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
     if kind == "convT":
         return np.ascontiguousarray(np.transpose(w[::-1, ::-1], (2, 3, 0, 1)))
+    if kind == "scale2d":
+        return np.asarray(w).reshape(-1, 1, 1)
     return np.asarray(w)
 
 
@@ -206,6 +210,201 @@ def dinov2_pose_rules(num_layers: int, lora_layers: Iterable[int] = ()) -> list[
         for r in vit_rules(num_layers, lora_layers)
     ]
     rules += spatial_heads_rules(("pose_heads",), "pose_heads.")
+    return rules
+
+
+def _bn_module_rules(flax_bn: tuple[str, ...], torch_bn: str) -> list[Rule]:
+    """A standalone torch BatchNorm2d module (not inside a Sequential)."""
+    return [
+        Rule(("params",) + flax_bn + ("scale",), f"{torch_bn}.weight"),
+        Rule(("params",) + flax_bn + ("bias",), f"{torch_bn}.bias"),
+        Rule(("batch_stats",) + flax_bn + ("mean",), f"{torch_bn}.running_mean"),
+        Rule(("batch_stats",) + flax_bn + ("var",), f"{torch_bn}.running_var"),
+    ]
+
+
+def mobileone_rules(
+    fpath: tuple[str, ...],
+    tprefix: str,
+    *,
+    kernel: int = 3,
+    identity: bool = True,
+    num_branches: int = 1,
+    use_se: bool = False,
+) -> list[Rule]:
+    """MobileOneBlock mapping (flax names conv{b}/conv{b}_bn/scale/scale_bn/
+    skip_bn/se <-> torch rbr_conv.{b}/rbr_scale/rbr_skip/se)."""
+    rules: list[Rule] = []
+    for b in range(num_branches):
+        rules += [
+            Rule(("params",) + fpath + (f"conv{b}", "kernel"),
+                 f"{tprefix}rbr_conv.{b}.conv.weight", "conv"),
+            Rule(("params",) + fpath + (f"conv{b}_bn", "scale"),
+                 f"{tprefix}rbr_conv.{b}.bn.weight"),
+            Rule(("params",) + fpath + (f"conv{b}_bn", "bias"),
+                 f"{tprefix}rbr_conv.{b}.bn.bias"),
+            Rule(("batch_stats",) + fpath + (f"conv{b}_bn", "mean"),
+                 f"{tprefix}rbr_conv.{b}.bn.running_mean"),
+            Rule(("batch_stats",) + fpath + (f"conv{b}_bn", "var"),
+                 f"{tprefix}rbr_conv.{b}.bn.running_var"),
+        ]
+    if kernel > 1:
+        rules += [
+            Rule(("params",) + fpath + ("scale", "kernel"),
+                 f"{tprefix}rbr_scale.conv.weight", "conv"),
+            Rule(("params",) + fpath + ("scale_bn", "scale"),
+                 f"{tprefix}rbr_scale.bn.weight"),
+            Rule(("params",) + fpath + ("scale_bn", "bias"),
+                 f"{tprefix}rbr_scale.bn.bias"),
+            Rule(("batch_stats",) + fpath + ("scale_bn", "mean"),
+                 f"{tprefix}rbr_scale.bn.running_mean"),
+            Rule(("batch_stats",) + fpath + ("scale_bn", "var"),
+                 f"{tprefix}rbr_scale.bn.running_var"),
+        ]
+    if identity:
+        rules += _bn_module_rules(fpath + ("skip_bn",), f"{tprefix}rbr_skip")
+    if use_se:
+        rules += [
+            Rule(("params",) + fpath + ("se", "reduce", "kernel"),
+                 f"{tprefix}se.reduce.weight", "conv"),
+            Rule(("params",) + fpath + ("se", "reduce", "bias"),
+                 f"{tprefix}se.reduce.bias"),
+            Rule(("params",) + fpath + ("se", "expand", "kernel"),
+                 f"{tprefix}se.expand.weight", "conv"),
+            Rule(("params",) + fpath + ("se", "expand", "bias"),
+                 f"{tprefix}se.expand.bias"),
+        ]
+    return rules
+
+
+def _large_kernel_rules(fpath: tuple[str, ...], tprefix: str) -> list[Rule]:
+    """ReparamLargeKernelConv: lkb_origin (7x7) + small_conv branches."""
+    rules = []
+    for fname, tname in (("large", "lkb_origin"), ("small", "small_conv")):
+        rules += [
+            Rule(("params",) + fpath + (fname, "kernel"),
+                 f"{tprefix}{tname}.conv.weight", "conv"),
+            Rule(("params",) + fpath + (f"{fname}_bn", "scale"),
+                 f"{tprefix}{tname}.bn.weight"),
+            Rule(("params",) + fpath + (f"{fname}_bn", "bias"),
+                 f"{tprefix}{tname}.bn.bias"),
+            Rule(("batch_stats",) + fpath + (f"{fname}_bn", "mean"),
+                 f"{tprefix}{tname}.bn.running_mean"),
+            Rule(("batch_stats",) + fpath + (f"{fname}_bn", "var"),
+                 f"{tprefix}{tname}.bn.running_var"),
+        ]
+    return rules
+
+
+def fastvit_backbone_rules(cfg, base: tuple[str, ...] = ("backbone",),
+                           torch_prefix: str = "backbone.") -> list[Rule]:
+    """Mapping for the FastViT backbone vs the official (apple/ml-fastvit,
+    mirrored by timm) state-dict naming: ``stem.{i}``, ``stages.{i}`` with
+    ``downsample.proj.{0,1}`` / ``pos_emb`` / ``blocks.{j}``, ``final_conv``.
+
+    The reference's consumers rely on exactly these containers: family
+    detection greps for 'backbone.stages' (/root/reference/export_coreml.py:114),
+    the LoRA wrapper walks model.stages[i].blocks[j].mlp.fc{1,2}
+    (/root/reference/model/lora.py:130-149), and LoRA keys land at
+    ``...mlp.fc1.{original_conv,lora_A,lora_B}.weight``.
+    """
+    p = torch_prefix
+    lora = cfg.lora_rank > 0
+    rules: list[Rule] = []
+    d0_id = True  # stem blocks 1,2 keep in==out
+    rules += mobileone_rules(base + ("stem0",), f"{p}stem.0.", identity=False)
+    rules += mobileone_rules(base + ("stem1",), f"{p}stem.1.", identity=False)
+    rules += mobileone_rules(base + ("stem2",), f"{p}stem.2.", kernel=1, identity=d0_id)
+
+    for i in range(len(cfg.embed_dims)):
+        sp = f"{p}stages.{i}."
+        if i > 0:
+            rules += _large_kernel_rules(
+                base + (f"downsample{i}", "proj"), f"{sp}downsample.proj.0."
+            )
+            rules += mobileone_rules(
+                base + (f"downsample{i}", "mix"), f"{sp}downsample.proj.1.",
+                kernel=1, identity=True,
+            )
+        if cfg.pos_embs[i]:
+            rules += [
+                Rule(("params", *base, f"pos_emb{i}", "pe", "kernel"),
+                     f"{sp}pos_emb.pe.weight", "conv"),
+                Rule(("params", *base, f"pos_emb{i}", "pe", "bias"),
+                     f"{sp}pos_emb.pe.bias"),
+            ]
+        for j in range(cfg.depths[i]):
+            bp = base + (f"stage{i}_block{j}",)
+            tb = f"{sp}blocks.{j}."
+            if cfg.token_mixers[i] == "repmixer":
+                rules += mobileone_rules(
+                    bp + ("token_mixer", "mixer"), f"{tb}token_mixer.mixer.",
+                    identity=True,
+                )
+                rules += _bn_module_rules(
+                    bp + ("token_mixer", "norm", "skip_bn"),
+                    f"{tb}token_mixer.norm.rbr_skip",
+                )
+                rules += [
+                    Rule(("params",) + bp + ("token_mixer", "layer_scale"),
+                         f"{tb}token_mixer.layer_scale", "scale2d"),
+                ]
+            else:
+                rules += _bn_module_rules(bp + ("attn", "norm"), f"{tb}norm")
+                rules += [
+                    Rule(("params",) + bp + ("attn", "qkv", "kernel"),
+                         f"{tb}token_mixer.qkv.weight", "linear"),
+                    Rule(("params",) + bp + ("attn", "proj", "kernel"),
+                         f"{tb}token_mixer.proj.weight", "linear"),
+                    Rule(("params",) + bp + ("attn", "proj", "bias"),
+                         f"{tb}token_mixer.proj.bias"),
+                    Rule(("params",) + bp + ("layer_scale_1",),
+                         f"{tb}layer_scale_1", "scale2d"),
+                ]
+            # ConvFFN
+            fc1 = f"{tb}mlp.fc1." if not lora else f"{tb}mlp.fc1.original_conv."
+            fc2 = f"{tb}mlp.fc2." if not lora else f"{tb}mlp.fc2.original_conv."
+            rules += [
+                Rule(("params",) + bp + ("mlp", "conv", "kernel"),
+                     f"{tb}mlp.conv.conv.weight", "conv"),
+                Rule(("params",) + bp + ("mlp", "conv_bn", "scale"),
+                     f"{tb}mlp.conv.bn.weight"),
+                Rule(("params",) + bp + ("mlp", "conv_bn", "bias"),
+                     f"{tb}mlp.conv.bn.bias"),
+                Rule(("batch_stats",) + bp + ("mlp", "conv_bn", "mean"),
+                     f"{tb}mlp.conv.bn.running_mean"),
+                Rule(("batch_stats",) + bp + ("mlp", "conv_bn", "var"),
+                     f"{tb}mlp.conv.bn.running_var"),
+                Rule(("params",) + bp + ("mlp", "fc1", "kernel"), f"{fc1}weight", "conv"),
+                Rule(("params",) + bp + ("mlp", "fc1", "bias"), f"{fc1}bias"),
+                Rule(("params",) + bp + ("mlp", "fc2", "kernel"), f"{fc2}weight", "conv"),
+                Rule(("params",) + bp + ("mlp", "fc2", "bias"), f"{fc2}bias"),
+                Rule(("params",) + bp + ("layer_scale_2",),
+                     f"{tb}layer_scale" if cfg.token_mixers[i] == "repmixer"
+                     else f"{tb}layer_scale_2", "scale2d"),
+            ]
+            if lora:
+                for fc in ("fc1", "fc2"):
+                    rules += [
+                        Rule(("params",) + bp + ("mlp", f"{fc}_lora", "lora_A", "kernel"),
+                             f"{tb}mlp.{fc}.lora_A.weight", "conv"),
+                        Rule(("params",) + bp + ("mlp", f"{fc}_lora", "lora_B", "kernel"),
+                             f"{tb}mlp.{fc}.lora_B.weight", "conv"),
+                    ]
+
+    rules += mobileone_rules(
+        base + ("final_conv",), f"{p}final_conv.", identity=False, use_se=cfg.final_se
+    )
+    return rules
+
+
+def fastvit_pose_rules(cfg) -> list[Rule]:
+    """Full-variable-tree mapping for ``FastVitPoseModule`` checkpoints.
+
+    Heads live at ``backbone.head.*`` in torch (the reference replaces
+    timm's classification head attribute, fastvit_pose.py:23,135)."""
+    rules = fastvit_backbone_rules(cfg)
+    rules += spatial_heads_rules(("pose_heads",), "backbone.head.")
     return rules
 
 

@@ -219,10 +219,12 @@ class ConvLoRA(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, out_features: int, *, deterministic: bool) -> Array:
+        # Reference order (lora.py:112-120): A -> Dropout2d (whole rank
+        # channels) -> B -> scale.
+        y = L.Conv(self.rank, kernel_size=(1, 1), use_bias=False, name="lora_A")(x)
         y = L.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
-            x, deterministic=deterministic
+            y, deterministic=deterministic
         )
-        y = L.Conv(self.rank, kernel_size=(1, 1), use_bias=False, name="lora_A")(y)
         y = nn.Conv(
             out_features, kernel_size=(1, 1), use_bias=False,
             kernel_init=nn.initializers.zeros, name="lora_B",
