@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dino_pose_tpu.core.mesh import create_mesh
+from dino_pose_tpu.core.precision import policy_for_backend
 from dino_pose_tpu.data.dataset import create_dataloaders
 from dino_pose_tpu.io import checkpoint as ck
 from dino_pose_tpu.models import registry
@@ -50,7 +51,7 @@ class MetricsWriter:
     FIELDS = [
         "epoch", "train_loss", "train_kp_loss", "train_z_loss",
         "val_loss", "val_kp_loss", "val_z_loss", "weight", "lr",
-        "images_per_sec", "pckh_2d", "pckh_3d",
+        "images_per_sec", "input_wait_s", "pckh_2d", "pckh_3d",
     ]
 
     def __init__(self, path: str):
@@ -147,13 +148,24 @@ def fit(
         print(f"Resumed optimizer/scheduler state from epoch {start_epoch}")
 
     device_targets = (model.input_size, model.heatmap_size)
+    compute_dtype = policy_for_backend(
+        mesh.devices.flat[0].platform
+    ).compute_dtype
     train_step = jit_train_step(
-        model.module, tx, partition, mesh, device_targets=device_targets
+        model.module, tx, partition, mesh,
+        device_targets=device_targets, compute_dtype=compute_dtype,
     )
-    eval_step = jit_eval_step(model.module, mesh, device_targets=device_targets)
+    eval_step = jit_eval_step(
+        model.module, mesh,
+        device_targets=device_targets, compute_dtype=compute_dtype,
+    )
 
     metrics = MetricsWriter(os.path.join(checkpoint_dir, "metrics.csv"))
     rng = jax.random.key(config_training.get("seed", 0))
+    if config_training.get("debug_nans"):
+        from dino_pose_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks()
 
     def current_model():
         # Zero-copy view: the live (device, replicated) training values.
@@ -182,17 +194,28 @@ def fit(
     train_loss = val_loss = 0.0
     for epoch in range(start_epoch, total_epochs):
         # ---- train ----
+        from dino_pose_tpu.utils.profiling import StepTimer, trace
+
         t0 = time.time()
         per_step = []
         images = 0
+        timer = StepTimer()
         bar = None
         if progress:
             from tqdm import tqdm
 
             bar = tqdm(total=len(train_loader), desc=f"Epoch {epoch + 1} Training", leave=False)
         lr = jnp.asarray(scheduler.lr, jnp.float32)
-        for i, batch in enumerate(train_loader):
-            state, stats = train_step(state, batch, lr, rng)
+        profile_ctx = (
+            trace(config_training["profile_dir"])
+            if config_training.get("profile_dir") and epoch == start_epoch
+            else None
+        )
+        if profile_ctx is not None:
+            profile_ctx.__enter__()
+        for i, batch in enumerate(timer.iter(train_loader)):
+            with timer.step():
+                state, stats = train_step(state, batch, lr, rng)
             per_step.append(stats)
             images += len(batch["image"])
             if bar is not None:
@@ -205,6 +228,10 @@ def fit(
                         z_loss=f"{float(snap['z_loss']):.6f}",
                         weight=f"{float(snap['weight']):.4f}",
                     )
+        timer.drain(state)
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"Profiler trace written to {config_training['profile_dir']}")
         if bar is not None:
             bar.close()
         train_stats = _epoch_mean(per_step)
@@ -252,6 +279,7 @@ def fit(
             "weight": train_stats.get("weight", ""),
             "lr": scheduler.lr,
             "images_per_sec": round(images_per_sec, 2),
+            "input_wait_s": timer.summary()["input_wait_s"],
         }
 
         # ---- PCKh-gated checkpointing (reference train.py:346-372) ----

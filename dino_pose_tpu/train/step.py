@@ -109,20 +109,30 @@ def shard_batch_spec(batch_like: dict) -> dict:
     return jax.tree.map(lambda _: P("data"), batch_like)
 
 
-def _with_device_targets(step_fn: Callable, input_size: int, heatmap_size: int) -> Callable:
-    """Wrap a step so Gaussian heatmap targets are rendered *inside* the
-    jitted program from the (B, K, 3) keypoints — the host never materialises
-    or transfers the (B, K, hs, hs) target tensor (SURVEY §7 step 4)."""
+def _prepare_batch(
+    step_fn: Callable,
+    device_targets: tuple[int, int] | None,
+    compute_dtype=None,
+) -> Callable:
+    """In-jit batch preparation: optionally render Gaussian heatmap targets
+    from the (B, K, 3) keypoints (the host never materialises or transfers
+    the (B, K, hs, hs) target tensor — SURVEY §7 step 4) and cast the pixels
+    to the compute dtype (bf16 on TPU) so the MXU runs at full rate while
+    targets/losses stay float32."""
     from dino_pose_tpu.data.heatmaps import render_heatmaps
 
     def wrapped(state, batch, *rest):
         batch = dict(batch)
-        batch["2d_heatmaps"] = render_heatmaps(
-            batch["2d_keypoints"],
-            height=input_size,
-            width=input_size,
-            heatmap_size=heatmap_size,
-        )
+        if device_targets is not None:
+            input_size, heatmap_size = device_targets
+            batch["2d_heatmaps"] = render_heatmaps(
+                batch["2d_keypoints"],
+                height=input_size,
+                width=input_size,
+                heatmap_size=heatmap_size,
+            )
+        if compute_dtype is not None:
+            batch["image"] = batch["image"].astype(compute_dtype)
         return step_fn(state, batch, *rest)
 
     return wrapped
@@ -135,15 +145,17 @@ def jit_train_step(
     mesh: Mesh | None = None,
     *,
     device_targets: tuple[int, int] | None = None,
+    compute_dtype=None,
 ):
     """jit the train step, donating the state; shard the batch if given a mesh.
 
     ``device_targets=(input_size, heatmap_size)`` fuses heatmap-target
-    rendering into the step (batches then carry keypoints, not heatmaps).
+    rendering into the step (batches then carry keypoints, not heatmaps);
+    ``compute_dtype`` casts pixels in-jit (bf16 activations on TPU).
     """
     step = make_train_step(module, tx, partition)
-    if device_targets is not None:
-        step = _with_device_targets(step, *device_targets)
+    if device_targets is not None or compute_dtype is not None:
+        step = _prepare_batch(step, device_targets, compute_dtype)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     replicated = NamedSharding(mesh, P())
@@ -161,10 +173,11 @@ def jit_eval_step(
     mesh: Mesh | None = None,
     *,
     device_targets: tuple[int, int] | None = None,
+    compute_dtype=None,
 ):
     step = make_eval_step(module)
-    if device_targets is not None:
-        step = _with_device_targets(step, *device_targets)
+    if device_targets is not None or compute_dtype is not None:
+        step = _prepare_batch(step, device_targets, compute_dtype)
     if mesh is None:
         return jax.jit(step)
     replicated = NamedSharding(mesh, P())
