@@ -143,3 +143,53 @@ SKELETON_LINKS = (
 def skeleton_definition() -> list[list[int]]:
     """Skeleton as a list of [from, to] index pairs (COCO-style)."""
     return [[int(a), int(b)] for a, b, _ in SKELETON_LINKS]
+
+
+# Joint-angle definitions (reference KeyPointConnections.angles,
+# /root/reference/src/utils.py:79-104): each row is
+# (first_start, first_end, second_start, second_end); axis references use
+# sentinels AXIS_ORIGIN with AXIS_X / AXIS_Y as the second segment.
+AXIS_ORIGIN, AXIS_X, AXIS_Y = -1, -2, -3
+
+JOINT_ANGLES = (
+    (KeyPoints.LEFT_SHOULDER, KeyPoints.LEFT_HIP, AXIS_ORIGIN, AXIS_Y),
+    (KeyPoints.RIGHT_SHOULDER, KeyPoints.RIGHT_HIP, AXIS_ORIGIN, AXIS_Y),
+    (KeyPoints.LEFT_SHOULDER, KeyPoints.RIGHT_SHOULDER, AXIS_ORIGIN, AXIS_X),
+    (KeyPoints.LEFT_HIP, KeyPoints.RIGHT_HIP, AXIS_ORIGIN, AXIS_X),
+    (KeyPoints.LEFT_KNEE, KeyPoints.LEFT_HIP, KeyPoints.LEFT_HIP, KeyPoints.LEFT_SHOULDER),
+    (KeyPoints.RIGHT_KNEE, KeyPoints.RIGHT_HIP, KeyPoints.RIGHT_HIP, KeyPoints.RIGHT_SHOULDER),
+    (KeyPoints.LEFT_ANKLE, KeyPoints.LEFT_KNEE, KeyPoints.LEFT_KNEE, KeyPoints.LEFT_HIP),
+    (KeyPoints.RIGHT_ANKLE, KeyPoints.RIGHT_KNEE, KeyPoints.RIGHT_KNEE, KeyPoints.RIGHT_HIP),
+    (KeyPoints.LEFT_ELBOW, KeyPoints.LEFT_SHOULDER, KeyPoints.LEFT_SHOULDER, KeyPoints.LEFT_HIP),
+    (KeyPoints.RIGHT_ELBOW, KeyPoints.RIGHT_SHOULDER, KeyPoints.RIGHT_SHOULDER, KeyPoints.RIGHT_HIP),
+    (KeyPoints.LEFT_WRIST, KeyPoints.LEFT_ELBOW, KeyPoints.LEFT_ELBOW, KeyPoints.LEFT_SHOULDER),
+    (KeyPoints.RIGHT_WRIST, KeyPoints.RIGHT_ELBOW, KeyPoints.RIGHT_ELBOW, KeyPoints.RIGHT_SHOULDER),
+)
+
+
+def joint_angles(keypoints) -> "np.ndarray":
+    """Angles (radians) between each JOINT_ANGLES segment pair.
+
+    keypoints: (..., K, 2+) array. Axis sentinels compare against the image
+    x/y unit vectors. Vectorised over leading dims.
+    """
+    kps = np.asarray(keypoints, np.float32)[..., :2]
+
+    def seg(start, end):
+        if start == AXIS_ORIGIN:
+            unit = np.array([1.0, 0.0], np.float32) if end == AXIS_X else np.array(
+                [0.0, 1.0], np.float32
+            )
+            return np.broadcast_to(unit, kps.shape[:-2] + (2,))
+        return kps[..., end, :] - kps[..., start, :]
+
+    out = []
+    for fs, fe, ss, se in JOINT_ANGLES:
+        a = seg(fs, fe)
+        b = seg(ss, se)
+        dot = np.sum(a * b, axis=-1)
+        na = np.linalg.norm(a, axis=-1)
+        nb = np.linalg.norm(b, axis=-1)
+        cos = np.clip(dot / np.maximum(na * nb, 1e-8), -1.0, 1.0)
+        out.append(np.arccos(cos))
+    return np.stack(out, axis=-1)

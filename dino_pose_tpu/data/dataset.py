@@ -50,6 +50,7 @@ class PoseDataset:
         config_model: dict,
         transform: bool = True,
         render_targets: bool = True,
+        device_warp: bool = False,
         seed: int = 0,
     ):
         self.images_dir_path = images_dir_path
@@ -58,8 +59,22 @@ class PoseDataset:
         self.config_model = config_model
         self.transform = transform
         self.render_targets = render_targets
+        self.device_warp = device_warp
         self.seed = seed
         self.epoch = 0
+        if device_warp:
+            if not (
+                transform
+                and config_preproc
+                and config_preproc.get("is_crop")
+                and config_preproc.get("is_resize_shortest_edge")
+            ):
+                raise ValueError(
+                    "device_warp requires the standard augmentation chain "
+                    "(transform with is_resize_shortest_edge + is_crop)"
+                )
+            if render_targets:
+                raise ValueError("device_warp implies render_targets=False")
 
         self.coco = CocoPoseAnnotations(annotation_json_path)
         self.num_keypoints = self.coco.num_keypoints
@@ -92,6 +107,7 @@ class PoseDataset:
         kps = rec.keypoints.astype(np.float64).copy()
         z3d = rec.keypoints_z.astype(np.float64).copy()
 
+        spec = None
         if self.transform and self.config_preproc:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, idx])
@@ -105,6 +121,8 @@ class PoseDataset:
                 self.config_preproc,
                 target_size=self.image_processor.crop_size["width"],
             )
+            if self.device_warp:
+                return self._device_warp_sample(img, spec, kps, z3d)
             img = augment_image_host(img, spec, self.config_preproc)
         else:
             kps = kps.astype(np.float32)
@@ -122,6 +140,31 @@ class PoseDataset:
             hs = int(self.config_model["output_heatmap_size"])
             sample["2d_heatmaps"] = render_heatmaps_host(kps, img.size, hs)
         return sample
+
+    def _device_warp_sample(self, img, spec, kps, z3d) -> dict:
+        """Fast path: one host letterbox; the warp runs on device in-step."""
+        from dino_pose_tpu.data import warp as W
+
+        canvas, canvas_scale = W.letterbox_canvas(img)
+        wspec = W.chain_affine(
+            spec,
+            img.size,
+            canvas_scale,
+            model_input=self.image_processor.crop,
+            shortest_edge=self.image_processor.shortest_edge,
+        )
+        z_coords = np.asarray(
+            kp_math.normalize_z(kps.astype(np.float32), z3d.astype(np.float32))
+        )
+        return {
+            "canvas": canvas,
+            "affine": wspec.affine,
+            "pad_color": wspec.pad_color,
+            "src_wh": np.array([wspec.src_w, wspec.src_h], np.float32),
+            "occ": wspec.occ,
+            "2d_keypoints": kps.astype(np.float32),
+            "z_coords": z_coords.astype(np.float32),
+        }
 
 
 def _collate(samples: list[dict]) -> dict:
@@ -218,6 +261,7 @@ def create_dataloaders(
     transform: bool = True,
     drop_last: bool = True,
     render_targets: bool = True,
+    device_warp: bool = False,
     seed: int = 0,
 ) -> DataLoader:
     """Reference factory shape (/root/reference/data_loader/data_loader.py:197-246)."""
@@ -233,7 +277,8 @@ def create_dataloaders(
         config_preproc=config_preproc,
         config_model=config_model,
         transform=transform,
-        render_targets=render_targets,
+        render_targets=render_targets and not device_warp,
+        device_warp=device_warp,
         seed=seed,
     )
     return DataLoader(

@@ -105,9 +105,18 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
-    """Dispatch to the Pallas kernel on TPU, XLA elsewhere."""
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
+
+    ``DINO_POSE_TPU_ATTENTION=xla|pallas`` overrides (benchmarking hook).
+    """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        override = os.environ.get("DINO_POSE_TPU_ATTENTION", "").lower()
+        if override in ("xla", "pallas"):
+            use_pallas = override == "pallas"
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

@@ -101,6 +101,7 @@ def fit(
           f"on {mesh.devices.flat[0].platform}")
 
     print(f"Creating dataloader for {config_dataset['train_images_dir']}...")
+    device_warp = bool(config_training.get("device_warp", False))
     train_loader = create_dataloaders(
         config_preproc,
         config_model,
@@ -109,6 +110,7 @@ def fit(
         batch_size=config_training["batch_size"],
         num_workers=config_training.get("multiprocessing_num", 4),
         render_targets=False,  # targets render on device inside the step
+        device_warp=device_warp,
     )
     val_loader = None
     if config_dataset.get("val_images_dir") and config_dataset.get("val_annotation_json"):
@@ -217,7 +219,7 @@ def fit(
             with timer.step():
                 state, stats = train_step(state, batch, lr, rng)
             per_step.append(stats)
-            images += len(batch["image"])
+            images += len(next(iter(batch.values())))
             if bar is not None:
                 bar.update(1)
                 if (i + 1) % 10 == 0:

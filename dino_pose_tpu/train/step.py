@@ -123,6 +123,20 @@ def _prepare_batch(
 
     def wrapped(state, batch, *rest):
         batch = dict(batch)
+        if "canvas" in batch:
+            # Device-warp fast path: the batch carries letterboxed uint8
+            # canvases + per-sample affines; materialise pixels on device.
+            from dino_pose_tpu.data.warp import warp_batch
+
+            input_size = device_targets[0] if device_targets else 224
+            batch["image"] = warp_batch(
+                batch.pop("canvas"),
+                batch.pop("affine"),
+                batch.pop("pad_color"),
+                batch.pop("src_wh"),
+                batch.pop("occ"),
+                model_input=input_size,
+            )
         if device_targets is not None:
             input_size, heatmap_size = device_targets
             batch["2d_heatmaps"] = render_heatmaps(
