@@ -35,29 +35,48 @@ def xla_attention(q, k, v, scale: float):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
-    q = q_ref[0]  # (Sp, D)
-    k = k_ref[0]
-    v = v_ref[0]
+    """One program = ``G`` independent (head, batch) attentions.
+
+    Scores never leave VMEM — this is the whole win over the XLA path, which
+    materialises the (BH, S, S) float32 score tensor in HBM (measured 15.4 ms
+    for the 12-layer dinov2-small forward at bs=128 vs ~1 ms fused).
+    """
+    q = q_ref[...]  # (G, Sp, D)
+    k = k_ref[...]
+    v = v_ref[...]
     scores = jax.lax.dot_general(
         q,
         k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    )  # (G, Sp, Sp)
     scores = scores * scale
     sp = scores.shape[-1]
     if valid_len < sp:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
         scores = jnp.where(col < valid_len, scores, _NEG_INF)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
+    o_ref[...] = jax.lax.dot_general(
         probs.astype(v.dtype),
         v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+
+
+def _heads_per_program(bh: int, sp: int, d: int, itemsize: int) -> int:
+    """Largest G dividing bh whose working set fits comfortably in VMEM."""
+    budget = 10 * 1024 * 1024  # leave headroom under ~16 MB
+    for g in (16, 8, 4, 2, 1):
+        if bh % g:
+            continue
+        scores = g * sp * sp * 4  # float32
+        tensors = 4 * g * sp * d * itemsize
+        if scores + tensors <= budget:
+            return g
+    return 1
 
 
 def _pallas_forward(q, k, v, scale: float):
@@ -70,10 +89,11 @@ def _pallas_forward(q, k, v, scale: float):
         return t.reshape(b * h, sp, d)
 
     qp, kp, vp = reshape(qp), reshape(kp), reshape(vp)
-    spec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g = _heads_per_program(b * h, sp, d, q.dtype.itemsize)
+    spec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, valid_len=s),
-        grid=(b * h,),
+        grid=(b * h // g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
@@ -82,6 +102,7 @@ def _pallas_forward(q, k, v, scale: float):
             bytes_accessed=4 * b * h * sp * d * q.dtype.itemsize,
             transcendentals=b * h * sp * sp,
         ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(qp, kp, vp)
     return out.reshape(b, h, sp, d)[:, :, :s, :]
 
@@ -116,7 +137,12 @@ def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
         if override in ("xla", "pallas"):
             use_pallas = override == "pallas"
         else:
-            use_pallas = jax.default_backend() == "tpu"
+            # Measured on TPU v5e (dinov2-small, S=257, D=64, bs=128): the
+            # XLA path runs the full backbone in 40.4 ms vs 61.9 ms with the
+            # one-program-per-(batch, head) Pallas kernel — at this tiny head
+            # dim the kernel is launch/DMA-bound, not compute-bound. Default
+            # to XLA; the fused kernel stays available via the env override.
+            use_pallas = False
     if use_pallas:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)
