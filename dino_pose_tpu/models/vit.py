@@ -136,7 +136,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool) -> Array:
         cfg = self.config
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1")(x)
+        h = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1")(x)
         h = SelfAttention(cfg, use_lora=self.use_lora, name="attention")(
             h, deterministic=deterministic
         )
@@ -147,7 +147,7 @@ class Block(nn.Module):
         )
         x = x + h * ls1.astype(h.dtype)
 
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2")(x)
+        h = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2")(x)
         h = L.Dense(cfg.hidden_size * cfg.mlp_ratio, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = L.Dense(cfg.hidden_size, name="fc2")(h)
@@ -203,7 +203,7 @@ class Dinov2Backbone(nn.Module):
                 cfg, use_lora=(i in cfg.lora_layers), name=f"layer{i}"
             )(x, deterministic=deterministic)
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
+        x = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
         return x, (hp, wp)
 
     def _interpolated_pos(self, pos: Array, hp: int, wp: int) -> Array:

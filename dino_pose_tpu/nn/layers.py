@@ -224,6 +224,29 @@ class BatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class LayerNorm(nn.Module):
+    """LayerNorm with float32 statistics and *input-dtype* output.
+
+    flax's ``nn.LayerNorm`` with float32 params promotes bfloat16 activations
+    to float32 — which silently switches every downstream matmul off the
+    bf16 MXU path (measured: the whole ViT backbone ran at f32 rate).
+    This variant normalises in float32 (torch semantics) and casts back.
+    """
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 Dropout = nn.Dropout
 
 
