@@ -85,10 +85,13 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", torch_kaiming_uniform(_dense_fan_in), (in_features, self.features)
         )
+        # Same-dtype operands, no preferred_element_type: the MXU still
+        # accumulates bf16 contractions in float32 internally, and a float32
+        # preferred type makes the VJP emit mixed-dtype convs/dots (bf16
+        # residual x float32 cotangent), which lax rejects.
         y = jnp.dot(
             x.astype(self.dtype) if self.dtype else x,
             kernel.astype(x.dtype if self.dtype is None else self.dtype),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -122,7 +125,6 @@ class Conv(nn.Module):
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = max(1, kernel_shape[0] * kernel_shape[1] * kernel_shape[2])
@@ -168,7 +170,6 @@ class ConvTranspose(nn.Module):
             padding=pad,
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = max(1, kh * kw * self.features)
