@@ -125,7 +125,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["train", "infer"], default="train")
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="facebook/dinov2-small")
     ap.add_argument("--no-lora", action="store_true")
     args = ap.parse_args()
