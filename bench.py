@@ -103,7 +103,9 @@ def bench_infer(model_name: str, iters: int = 50) -> dict:
         return decode_heatmaps(hm, (224, 224)), z
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 224, 224)), dtype)
-    variables = model.variables
+    # One transfer up front — the factory keeps variables host-side, and
+    # re-shipping ~90 MB of params per call would swamp the latency signal.
+    variables = jax.device_put(model.variables)
     for _ in range(5):
         out = infer(variables, x)
     jax.block_until_ready(out)

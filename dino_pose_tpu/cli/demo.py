@@ -66,9 +66,10 @@ def make_predictor(model):
     import jax
 
     fwd = jax.jit(lambda v, x: model.module.apply(v, x, train=False))
+    variables = jax.device_put(model.variables)  # ship params once
 
     def predict(pixel_batch: np.ndarray):
-        hm, z = fwd(model.variables, pixel_batch)
+        hm, z = fwd(variables, pixel_batch)
         return np.asarray(hm), np.asarray(z)
 
     return predict

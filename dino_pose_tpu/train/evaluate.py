@@ -64,6 +64,7 @@ def compute_pckh_dataset(
 
     coco = CocoPoseAnnotations(annotation_json_path)
     proc = create_preprocessor(model.model_name)
+    variables = jax.device_put(model.variables)  # ship params once, not per batch
 
     def load(idx: int):
         rec = coco[idx]
@@ -82,7 +83,7 @@ def compute_pckh_dataset(
             stack = lambda xs: np.stack(list(xs) + [np.zeros_like(xs[0])] * pad)
             out = _eval_batch(
                 model.module,
-                model.variables,
+                variables,
                 jnp.asarray(stack([r[0] for r in rows])),
                 jnp.asarray(stack([r[1] for r in rows])),
                 jnp.asarray(stack([r[2] for r in rows])),
