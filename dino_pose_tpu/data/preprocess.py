@@ -96,6 +96,8 @@ class ShortestEdgePreprocessor:
 
 def create_preprocessor(model_name: str) -> ShortestEdgePreprocessor:
     """Processor for a resolved backbone name (mirrors data_loader.py:218-223)."""
+    if model_name == "test/fastvit-tiny":  # test backbone runs at 128 input
+        return ShortestEdgePreprocessor(round(128 / 0.9), 128)
     if model_name.startswith("timm/"):
         # timm eval transform: resize round(input/crop_pct), crop input.
         input_size, crop_pct = 256, 0.9

@@ -101,3 +101,19 @@ def test_fit_overfits_one_batch(workdir, tmp_path_factory):
     history = fit(*cfgs, progress=False, export_pth=False)
     losses = history["train_loss"]
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_fit_fastvit_family(workdir, tmp_path_factory):
+    """The FastViT family trains end-to-end through the same loop."""
+    from dino_pose_tpu.train.loop import fit
+
+    ckpt_dir = tmp_path_factory.mktemp("ckpts_fastvit")
+    cfgs = make_configs(workdir, ckpt_dir)
+    cfgs[3]["model_name"] = "test/fastvit-tiny"
+    cfgs[1].update(num_epochs=1, save_freq=100)
+    cfgs[0].update(val_images_dir="", val_annotation_json="")
+    history = fit(*cfgs, progress=False, export_pth=True, num_epochs=1)
+    assert len(history["train_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+    import os
+    assert os.path.exists(ckpt_dir / "final_model.pth")
