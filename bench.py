@@ -123,9 +123,62 @@ def bench_infer(model_name: str, iters: int = 50) -> dict:
     }
 
 
+def bench_input(n_images: int = 64, batch_size: int = 32, num_workers: int = 4) -> dict:
+    """Host input pipeline vs the device-warp fast path (samples/sec)."""
+    import json as _json
+    import pathlib
+    import tempfile
+
+    from PIL import Image
+
+    from dino_pose_tpu.config import get_default_configs
+    from dino_pose_tpu.data.dataset import create_dataloaders
+
+    root = pathlib.Path(tempfile.mkdtemp())
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(n_images):
+        w, h = 640, 480
+        Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)).save(
+            root / "images" / f"{i}.jpg", quality=90
+        )
+        kps = np.stack(
+            [rng.uniform(30, w - 30, 24), rng.uniform(30, h - 30, 24), np.full(24, 2.0)], 1
+        )
+        images.append({"id": i, "file_name": f"{i}.jpg", "width": w, "height": h})
+        annotations.append(
+            {"id": i, "image_id": i, "num_keypoints": 24,
+             "keypoints": kps.reshape(-1).tolist(),
+             "keypoints_z": rng.uniform(-40, 40, 24).tolist()}
+        )
+    (root / "ann.json").write_text(_json.dumps({"images": images, "annotations": annotations}))
+
+    _, _, config_preproc, config_model = get_default_configs()
+
+    def run(device_warp: bool) -> float:
+        loader = create_dataloaders(
+            config_preproc, config_model, root / "images", root / "ann.json",
+            batch_size=batch_size, num_workers=num_workers,
+            render_targets=not device_warp, device_warp=device_warp,
+        )
+        list(loader)  # warm caches
+        t0 = time.perf_counter()
+        n = sum(len(next(iter(b.values()))) for b in loader)
+        return n / (time.perf_counter() - t0)
+
+    host = run(False)
+    warp = run(True)
+    return {
+        "host_samples_per_sec": round(host, 2),
+        "device_warp_samples_per_sec": round(warp, 2),
+        "speedup": round(warp / host, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["train", "infer"], default="train")
+    ap.add_argument("--mode", choices=["train", "infer", "input"], default="train")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="facebook/dinov2-small")
@@ -143,13 +196,22 @@ def main():
             ),
             "extra": r,
         }
-    else:
+    elif args.mode == "infer":
         r = bench_infer(args.model)
         result = {
             "metric": "infer_p50_latency_ms",
             "value": round(r["p50_latency_ms"], 3),
             "unit": "ms",
             "vs_baseline": round(r["fps"] / 80.0, 3),  # vs iPhone15Pro CoreML FPS
+            "extra": r,
+        }
+    else:
+        r = bench_input()
+        result = {
+            "metric": "input_pipeline_samples_per_sec",
+            "value": r["device_warp_samples_per_sec"],
+            "unit": "samples/sec",
+            "vs_baseline": r["speedup"],  # vs this framework's own host path
             "extra": r,
         }
     print(json.dumps(result))

@@ -101,6 +101,25 @@ class LoRAAdapter(nn.Module):
         return h * (self.alpha / self.rank)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with torch Linear init; used to declare q/k/v under
+    their own scopes while the matmul itself runs fused in the parent."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", L.torch_kaiming_uniform(lambda s: s[0]), (in_features, self.features)
+        )
+        bias = self.param(
+            "bias",
+            L.uniform_bound(1.0 / math.sqrt(max(1, in_features))),
+            (self.features,),
+        )
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     config: ViTConfig
     use_lora: bool = False
@@ -109,9 +128,19 @@ class SelfAttention(nn.Module):
     def __call__(self, x: Array, *, deterministic: bool) -> Array:
         cfg = self.config
         b, s, d = x.shape
-        q = L.Dense(cfg.hidden_size, name="query")(x)
-        k = L.Dense(cfg.hidden_size, name="key")(x)
-        v = L.Dense(cfg.hidden_size, name="value")(x)
+        # Parameters stay as three separate tensors (HF/torch bridge naming
+        # under query/key/value scopes) but run as ONE fused (D, 3D)
+        # projection — one large MXU matmul instead of three.
+        kernels, biases = zip(
+            *(
+                _DenseParams(cfg.hidden_size, name=nm)(d)
+                for nm in ("query", "key", "value")
+            )
+        )
+        w = jnp.concatenate(kernels, axis=1).astype(x.dtype)
+        bvec = jnp.concatenate(biases).astype(x.dtype)
+        qkv = jnp.dot(x, w) + bvec
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(t):
             return t.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
