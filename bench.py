@@ -29,19 +29,22 @@ import numpy as np
 A100_REFERENCE_IMG_PER_SEC = 400.0
 
 
-def synthetic_batch(batch_size: int, dtype):
+def synthetic_batch(batch_size: int, dtype, image_size: int = 224):
     rng = np.random.default_rng(0)
     kps = rng.uniform(20, 200, (batch_size, 24, 3)).astype(np.float32)
     kps[..., 2] = 2.0
     return {
-        "image": rng.standard_normal((batch_size, 3, 224, 224)).astype(dtype),
+        "image": rng.standard_normal((batch_size, 3, image_size, image_size)).astype(dtype),
         "2d_heatmaps": rng.random((batch_size, 24, 48, 48)).astype(np.float32),
         "2d_keypoints": kps,
         "z_coords": rng.standard_normal((batch_size, 24)).astype(np.float32),
     }
 
 
-def bench_train(batch_size: int, steps: int, model_name: str, use_lora: bool) -> dict:
+def bench_train(
+    batch_size: int, steps: int, model_name: str, use_lora: bool,
+    image_size: int = 224,
+) -> dict:
     from dino_pose_tpu.models import registry
     from dino_pose_tpu.train.state import create_train_state
     from dino_pose_tpu.train.step import jit_train_step
@@ -62,7 +65,7 @@ def bench_train(batch_size: int, steps: int, model_name: str, use_lora: bool) ->
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch = jax.device_put(synthetic_batch(batch_size, dtype))
+    batch = jax.device_put(synthetic_batch(batch_size, dtype, image_size))
     lr = jnp.float32(3e-5)
     key = jax.random.key(0)
 
@@ -183,10 +186,13 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="facebook/dinov2-small")
     ap.add_argument("--no-lora", action="store_true")
+    ap.add_argument("--image-size", type=int, default=224,
+                    help="square input resolution (dinov2 supports e.g. 518)")
     args = ap.parse_args()
 
     if args.mode == "train":
-        r = bench_train(args.batch_size, args.steps, args.model, not args.no_lora)
+        r = bench_train(args.batch_size, args.steps, args.model, not args.no_lora,
+                        image_size=args.image_size)
         result = {
             "metric": "finetune_images_per_sec_per_chip",
             "value": round(r["images_per_sec_per_chip"], 2),

@@ -137,11 +137,14 @@ def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
         if override in ("xla", "pallas"):
             use_pallas = override == "pallas"
         else:
-            # Measured on TPU v5e (dinov2-small, S=257, D=64, bs=128): the
-            # XLA path runs the full backbone in 40.4 ms vs 61.9 ms with the
-            # one-program-per-(batch, head) Pallas kernel — at this tiny head
-            # dim the kernel is launch/DMA-bound, not compute-bound. Default
-            # to XLA; the fused kernel stays available via the env override.
+            # Measured on TPU v5e (dinov2 at 224 input, S=257, D=64, bs=128):
+            # the XLA path wins end-to-end (44.3 vs 49.3 ms/step) — at short
+            # sequences the bf16 score traffic is cheap and the per-program
+            # Pallas pipeline doesn't pay for itself, so XLA is the default.
+            # The fused kernel keeps the O(S^2) scores out of HBM and is the
+            # right choice for long sequences (override with
+            # DINO_POSE_TPU_ATTENTION=pallas); the production pose models all
+            # run S=257, where XLA wins.
             use_pallas = False
     if use_pallas:
         return flash_attention(q, k, v, scale)
