@@ -241,6 +241,16 @@ class LayerNorm(nn.Module):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
+        # Measured end-to-end on v5e: the Pallas fused-LN kernel
+        # (ops/layernorm.py, opt-in via DINO_POSE_TPU_LN=pallas) is *slower*
+        # here (47.4 vs 44.3 ms/step) — a custom call blocks XLA from fusing
+        # the norm with the adjacent residual/LayerScale elementwise ops.
+        import os
+
+        if os.environ.get("DINO_POSE_TPU_LN", "").lower() == "pallas":
+            from dino_pose_tpu.ops.layernorm import fused_layernorm
+
+            return fused_layernorm(x, scale, bias, self.epsilon)
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
