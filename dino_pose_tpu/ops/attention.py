@@ -81,7 +81,10 @@ def _heads_per_program(bh: int, sp: int, d: int, itemsize: int) -> int:
 
 def _pallas_forward(q, k, v, scale: float):
     b, h, s, d = q.shape
-    sp = -(-s // _LANES) * _LANES  # pad sequence to lane multiple
+    # Pad the sequence only to sublane granularity (8): Mosaic pads the lane
+    # dimension inside VMEM for free, while HBM-level padding to 128 would
+    # copy the whole q/k/v once more per layer.
+    sp = -(-s // 8) * 8
     pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
     qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
 
