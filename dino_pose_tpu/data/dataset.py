@@ -187,7 +187,12 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch_batches: int = 2,
+        shard_by_process: bool = False,
     ):
+        """``shard_by_process=True`` gives each JAX process a disjoint
+        (epoch-rotating) slice of the dataset — the per-host input sharding
+        used for multi-host data-parallel training (every host feeds its own
+        chips; the shuffle seed is shared so slices never overlap)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -195,11 +200,20 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.shard_by_process = shard_by_process
         self._epoch = 0
         self._lock = threading.Lock()
 
+    def _shard_info(self) -> tuple[int, int]:
+        if not self.shard_by_process:
+            return 0, 1
+        import jax
+
+        return jax.process_index(), jax.process_count()
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        _, nshards = self._shard_info()
+        n = len(self.dataset) // nshards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
@@ -212,6 +226,10 @@ class DataLoader:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, epoch])
             ).shuffle(order)
+        rank, nshards = self._shard_info()
+        if nshards > 1:
+            per = len(order) // nshards
+            order = order[rank * per : (rank + 1) * per]
         if self.drop_last:
             order = order[: len(order) - len(order) % self.batch_size]
         batches = [
