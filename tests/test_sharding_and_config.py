@@ -1,0 +1,99 @@
+"""Per-host input sharding + reference-style config file loading."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dino_pose_tpu.config import get_default_configs, load_config_file
+from dino_pose_tpu.data.dataset import create_dataloaders
+
+K = 24
+
+
+@pytest.fixture(scope="module")
+def coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shard")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 256, (200, 200, 3), dtype=np.uint8)).save(
+            root / "images" / f"{i}.png"
+        )
+        kps = np.stack(
+            [rng.uniform(20, 180, K), rng.uniform(20, 180, K), np.full(K, 2.0)], 1
+        )
+        images.append({"id": i, "file_name": f"{i}.png", "width": 200, "height": 200})
+        annotations.append(
+            {"id": i, "image_id": i, "num_keypoints": K,
+             "keypoints": kps.reshape(-1).tolist(),
+             # unique z per image -> identifies which records a shard saw
+             "keypoints_z": (np.full(K, float(i)) + rng.uniform(0, 0.4, K)).tolist()}
+        )
+    (root / "ann.json").write_text(json.dumps({"images": images, "annotations": annotations}))
+    return root
+
+
+def test_process_shards_are_disjoint_and_cover(coco):
+    _, _, config_preproc, config_model = get_default_configs()
+
+    def loader_for(rank, nshards):
+        loader = create_dataloaders(
+            config_preproc, config_model, coco / "images", coco / "ann.json",
+            batch_size=2, num_workers=1, transform=False, shuffle=True, seed=7,
+        )
+        loader.shard_by_process = True
+        loader._shard_info = lambda: (rank, nshards)
+        return loader
+
+    seen = []
+    for rank in range(2):
+        loader = loader_for(rank, 2)
+        assert len(loader) == 2  # 8 records / 2 shards / bs 2
+        ids = set()
+        for batch in loader:
+            # transform=False keeps raw annotation keypoints: the first x
+            # coordinate uniquely identifies each record.
+            ids.update(np.round(batch["2d_keypoints"][:, 0, 0], 3).tolist())
+        seen.append(ids)
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) == 8
+
+
+def test_load_reference_style_config_file(tmp_path):
+    """A config file in the reference's plain-4-dicts form loads unchanged."""
+    cfg = tmp_path / "my_config.py"
+    cfg.write_text(
+        '''
+def get_default_configs():
+    config_dataset = {
+        "train_images_dir": "/data/train/images",
+        "train_annotation_json": "/data/train/ann.json",
+        "val_images_dir": "",
+        "val_annotation_json": "",
+    }
+    config_training = {
+        "batch_size": 16, "learning_rate": 1e-4, "weight_decay": 1e-6,
+        "num_epochs": 3, "multiprocessing_num": 2, "save_freq": 1,
+        "checkpoint_dir": "ckpts",
+    }
+    config_preproc = {"pre_crop": False, "is_scale": False, "is_rotate": False,
+                      "is_flipping": False, "is_resize_shortest_edge": True,
+                      "is_crop": True, "is_occultation": False,
+                      "random_resize_min": 0.7, "random_resize_max": 1.3,
+                      "rotate_min_degree": -45, "rotate_max_degree": 45,
+                      "heatmap_std": 0.5}
+    config_model = {"model_name": "dinov2", "load_model": "",
+                    "num_keypoints": 24, "unfreeze_last_n_layers": 0,
+                    "use_lora": True, "lora_rank": 4, "lora_alpha": 8,
+                    "lora_dropout": 0.0, "output_heatmap_size": 48}
+    return config_dataset, config_training, config_preproc, config_model
+'''
+    )
+    cd, ct, cp, cm = load_config_file(str(cfg))
+    assert ct["batch_size"] == 16
+    assert cm["model_name"] == "dinov2" and cm["lora_rank"] == 4
+    assert cp["is_crop"] is True
+    assert cd["train_images_dir"] == "/data/train/images"
