@@ -28,8 +28,6 @@ frozen via the trainer's optimizer mask.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,13 +12,13 @@ from __future__ import annotations
 
 import dataclasses
 import warnings
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from dino_pose_tpu.models.pose import DinoPoseModule, PoseModel
-from dino_pose_tpu.models.vit import VIT_PRESETS, ViTConfig
+from dino_pose_tpu.models.vit import VIT_PRESETS
 
 
 @dataclasses.dataclass
