@@ -107,6 +107,7 @@ def export(checkpoint_path: str, output_path: str) -> str:
 def _write_pth(model, src_ckpt: dict, output_path: str) -> str:
     from dino_pose_tpu.io import checkpoint as ck
 
+    lw = src_ckpt.get("loss_weight")
     ck.save_checkpoint(
         output_path,
         model,
@@ -115,6 +116,7 @@ def _write_pth(model, src_ckpt: dict, output_path: str) -> str:
         valid_loss=float(src_ckpt.get("valid_loss", 0.0)),
         config_training=dict(src_ckpt.get("config_training", {})),
         config_preproc=dict(src_ckpt.get("config_preproc", {})),
+        loss_weight=float(lw) if lw is not None else None,
     )
     # Self-check like the reference (export_coreml.py:278-286): run a forward
     # pass and report output shapes before handing the file over.

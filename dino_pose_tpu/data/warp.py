@@ -108,14 +108,16 @@ def chain_affine(
             np.array([[-1, 0, spec.scaled_w], [0, 1, 0]], np.float64)
         )
     if spec.degrees:
-        ang = math.radians(spec.degrees)  # PIL rotates CCW by +degrees
+        ang = math.radians(spec.degrees)
         ox, oy = spec.scaled_w / 2.0, spec.scaled_h / 2.0
         c, s = math.cos(ang), math.sin(ang)
-        # inverse rotation of the image = rotate coordinates by -degrees
+        # PIL.Image.rotate(deg) samples output pixel q from input coordinate
+        # R(+deg)(q - centre) + centre (verified empirically vs PIL); the
+        # keypoint math applies the forward R(-deg), consistently.
         mats.append(
             _compose(
                 _translate(ox, oy),
-                np.array([[c, s, 0], [-s, c, 0]], np.float64),
+                np.array([[c, -s, 0], [s, c, 0]], np.float64),
                 _translate(-ox, -oy),
             )
         )
@@ -124,19 +126,22 @@ def chain_affine(
     mats.append(_translate(spec.crop_x0, spec.crop_y0))
     # F0 -> canvas
     mats.append(_scale(canvas_scale[0], canvas_scale[1]))
-    affine = _compose(*mats)
+    # Each entry of ``mats`` maps frame N -> N+1 in list order (to_f5 first,
+    # canvas scale last); ``_compose`` applies its LAST argument first, so
+    # the list must be reversed to compose in application order.
+    affine = _compose(*reversed(mats))
 
     occ = np.full(4, -1.0, np.float32)
     if spec.occ_rect is not None:
         # Occlusion is drawn in the F5 frame; model pixel m sits at
-        # f5 = m * proc_scale + crop_off, so f5 -> m = (f5 - crop_off) / s.
+        # f5 = proc_scale * (m + crop_off), so f5 -> m = f5 / s - crop_off.
         x0, x1, y0, y1 = spec.occ_rect
         occ = np.array(
             [
-                (x0 - crop_off) / proc_scale,
-                (x1 - crop_off) / proc_scale,
-                (y0 - crop_off) / proc_scale,
-                (y1 - crop_off) / proc_scale,
+                x0 / proc_scale - crop_off,
+                x1 / proc_scale - crop_off,
+                y0 / proc_scale - crop_off,
+                y1 / proc_scale - crop_off,
             ],
             np.float32,
         )

@@ -94,6 +94,7 @@ def save_checkpoint(
     config_training: dict | None = None,
     config_preproc: dict | None = None,
     scheduler: PlateauState | None = None,
+    loss_weight: float | None = None,
 ) -> None:
     """Save in the format selected by the file suffix (.pth or .msgpack).
 
@@ -101,6 +102,13 @@ def save_checkpoint(
     when given, its parameters/batch-stats are saved (they are the live
     training values) together with optimizer + loss-weight state (native
     format only). Without it the model's own variables are saved.
+
+    ``loss_weight`` overrides the scalar written to the checkpoint's
+    ``loss_weight`` field (used when re-exporting an existing checkpoint,
+    whose recorded weight must be preserved). When a ``state`` is given the
+    field records ``state.loss_weight.best_weight`` — the best-validation
+    weight, matching the reference, which saves ``loss_weighting.best_weight``
+    (/root/reference/train.py:361-371, model/model_utils.py:227-283).
     """
     save_path = os.fspath(save_path)
     if state is not None:
@@ -114,19 +122,19 @@ def save_checkpoint(
     if save_path.endswith(".pth"):
         _save_pth(
             save_path, model, variables, state, epoch, train_loss, valid_loss,
-            config_training or {}, config_preproc or {}, scheduler,
+            config_training or {}, config_preproc or {}, scheduler, loss_weight,
         )
     else:
         _save_native(
             save_path, model, variables, state, epoch, train_loss, valid_loss,
-            config_training or {}, config_preproc or {}, scheduler,
+            config_training or {}, config_preproc or {}, scheduler, loss_weight,
         )
     print(f"Saved checkpoint to {save_path}")
 
 
 def _save_native(
     path, model, variables, state, epoch, train_loss, valid_loss,
-    config_training, config_preproc, scheduler,
+    config_training, config_preproc, scheduler, loss_weight=None,
 ) -> None:
     payload: dict[str, Any] = {
         "format": NATIVE_FORMAT,
@@ -145,7 +153,11 @@ def _save_native(
         payload["loss_weight_state"] = serialization.to_state_dict(
             _host(state.loss_weight)
         )
-        payload["loss_weight"] = float(jax.device_get(state.loss_weight.weight))
+        payload["loss_weight"] = float(
+            jax.device_get(state.loss_weight.best_weight)
+        )
+    if loss_weight is not None:
+        payload["loss_weight"] = float(loss_weight)
     if scheduler is not None:
         payload["scheduler_state_dict"] = scheduler.state_dict()
     data = serialization.msgpack_serialize(payload)
@@ -157,7 +169,7 @@ def _save_native(
 
 def _save_pth(
     path, model, variables, state, epoch, train_loss, valid_loss,
-    config_training, config_preproc, scheduler,
+    config_training, config_preproc, scheduler, loss_weight=None,
 ) -> None:
     import torch
 
@@ -169,9 +181,10 @@ def _save_pth(
     for k in tb.num_batches_tracked_keys(rules):
         state_dict[k] = torch.tensor(0, dtype=torch.int64)
 
-    loss_weight = 0.1
-    if state is not None:
-        loss_weight = float(jax.device_get(state.loss_weight.weight))
+    if loss_weight is None:
+        loss_weight = 0.1
+        if state is not None:
+            loss_weight = float(jax.device_get(state.loss_weight.best_weight))
     checkpoint = {
         "epoch": int(epoch),
         "model_state_dict": state_dict,

@@ -35,7 +35,10 @@ def test_native_roundtrip(tmp_path, model):
     state, _, _ = create_train_state(model.variables, CONFIG, model.family)
     state = state.replace(
         step=jnp.asarray(7, jnp.int32),
-        loss_weight=state.loss_weight.replace(weight=jnp.asarray(0.42, jnp.float32)),
+        loss_weight=state.loss_weight.replace(
+            weight=jnp.asarray(0.42, jnp.float32),
+            best_weight=jnp.asarray(0.37, jnp.float32),
+        ),
     )
     sched = PlateauState(lr=3e-5, best=0.5, num_bad_epochs=2)
     path = tmp_path / "ckpt_epoch3.msgpack"
@@ -59,13 +62,16 @@ def test_native_roundtrip(tmp_path, model):
     assert epoch == 3
     assert int(resumed.step) == 7
     assert float(resumed.loss_weight.weight) == pytest.approx(0.42)
+    assert float(resumed.loss_weight.best_weight) == pytest.approx(0.37)
     assert sched2.best == pytest.approx(0.5) and sched2.num_bad_epochs == 2
 
     info = ck.get_model_info(str(path))
     assert info["epoch"] == 3
     assert info["model_type"] == "lora"
     assert info["class_name"] == "Dinov2PoseModelLoRA"
-    assert info["loss_weight"] == pytest.approx(0.42)
+    # The scalar 'loss_weight' field records the best-validation weight,
+    # matching the reference (train.py saves loss_weighting.best_weight).
+    assert info["loss_weight"] == pytest.approx(0.37)
 
 
 def test_pth_roundtrip_and_reference_detection(tmp_path, model):

@@ -73,6 +73,26 @@ def test_warp_matches_host_geometry(tmp_path):
     # interior crop: avoid border-handling differences
     a = img[:, :, 10:-10, 10:-10]
     b = host["image"][:, :, 10:-10, 10:-10]
+    assert np.mean(np.abs(a - b)) < 0.01, np.mean(np.abs(a - b))
+
+
+def test_warp_matches_host_with_rotation(tmp_path):
+    """Rotation enabled: the composed affine must still align the warped
+    pixels with the PIL chain (catches compose-order regressions, where the
+    error jumps to ~0.7 normalised units)."""
+    from dino_pose_tpu.data.warp import warp_batch
+
+    root = make_coco(tmp_path)
+    cfg = dict(GEOM_ONLY, is_rotate=True)
+    dw = next(iter(loaders(root, cfg, device_warp=True)))
+    host = next(iter(loaders(root, cfg, device_warp=False)))
+
+    np.testing.assert_array_equal(dw["2d_keypoints"], host["2d_keypoints"])
+    img = np.asarray(
+        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"], dw["occ"])
+    )
+    a = img[:, :, 20:-20, 20:-20]
+    b = host["image"][:, :, 20:-20, 20:-20]
     assert np.mean(np.abs(a - b)) < 0.05, np.mean(np.abs(a - b))
 
 
