@@ -215,6 +215,12 @@ def _create_dinov2(
         lora_rank=int(config.get("lora_rank", 8)),
         lora_alpha=float(config.get("lora_alpha", 16)),
         lora_dropout=float(config.get("lora_dropout", 0.1)),
+        # Which top layers train (reference unfreeze semantics,
+        # dinov2_pose.py:25-39); frozen layers below are eligible for the
+        # fused-forward block kernel (ops/block.py).
+        num_unfrozen_layers=0 if use_lora else int(
+            config.get("unfreeze_last_n_layers", 0) or 0
+        ),
     )
     module = DinoPoseModule(
         vit=vit_cfg,

@@ -33,6 +33,12 @@ import numpy as np
 
 from dino_pose_tpu.nn import layers as L
 from dino_pose_tpu.ops.attention import attention
+from dino_pose_tpu.ops.block import (
+    BlockParams,
+    block_math,
+    fused_block,
+    fused_blocks_enabled,
+)
 
 Array = jax.Array
 
@@ -49,6 +55,9 @@ class ViTConfig:
     layer_norm_eps: float = 1e-6
     layerscale_init: float = 1.0
     hidden_dropout: float = 0.0
+    # How many TOP encoder layers train (reference unfreeze_last_n_layers);
+    # layers below are frozen and take the fused-forward block kernel.
+    num_unfrozen_layers: int = 0
     # LoRA: indices of encoder layers that get a residual output adapter.
     lora_layers: tuple[int, ...] = ()
     lora_rank: int = 8
@@ -157,15 +166,90 @@ class SelfAttention(nn.Module):
         return out
 
 
+class _NormParams(nn.Module):
+    """LayerNorm parameter holder (same tree as nn/layers.LayerNorm)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Attention parameter holder producing the SAME tree as SelfAttention
+    (query/key/value/out scopes) but returning the raw arrays, so the block
+    can route its compute through either the fused Pallas kernel or the
+    unfused math without changing the checkpoint/bridge layout."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernels, biases = zip(
+            *(
+                _DenseParams(self.hidden_size, name=nm)(in_features)
+                for nm in ("query", "key", "value")
+            )
+        )
+        wo, bo = _DenseParams(self.hidden_size, name="out")(self.hidden_size)
+        return (
+            jnp.concatenate(kernels, axis=1),
+            jnp.concatenate(biases),
+            wo,
+            bo,
+        )
+
+
 class Block(nn.Module):
+    """Pre-norm ViT block (HF Dinov2Layer topology).
+
+    Non-LoRA blocks declare parameters via holders and route compute through
+    :func:`dino_pose_tpu.ops.block.block_math` (XLA) or, when the layer is
+    frozen or the pass is inference, the fused single-program Pallas kernel
+    :func:`dino_pose_tpu.ops.block.fused_block` — one HBM read and one write
+    per layer. LoRA blocks keep the module path (adapter + its dropout RNG).
+    Both routes produce the identical parameter tree.
+    """
+
     config: ViTConfig
     use_lora: bool = False
+    frozen: bool = False  # no gradients flow to this layer's params
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool) -> Array:
         cfg = self.config
+        if self.use_lora:
+            return self._lora_path(x, deterministic=deterministic)
+
+        d = cfg.hidden_size
+        g1, b1 = _NormParams(name="norm1")(d)
+        wqkv, bqkv, wo, bo = _AttnParams(d, name="attention")(d)
+        ls1 = self.param(
+            "layerscale1",
+            lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
+            (d,),
+        )
+        g2, b2 = _NormParams(name="norm2")(d)
+        w1, bf1 = _DenseParams(d * cfg.mlp_ratio, name="fc1")(d)
+        w2, bf2 = _DenseParams(d, name="fc2")(d * cfg.mlp_ratio)
+        ls2 = self.param(
+            "layerscale2",
+            lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
+            (d,),
+        )
+        p = BlockParams(g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2)
+        # Fused kernel when no gradient will flow through this block's
+        # params (frozen layer, or any inference pass): its VJP falls back
+        # to the unfused math, which production never triggers.
+        if (self.frozen or deterministic) and fused_blocks_enabled(d):
+            return fused_block(x, p, cfg.num_heads, cfg.layer_norm_eps)
+        return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
+
+    def _lora_path(self, x: Array, *, deterministic: bool) -> Array:
+        cfg = self.config
         h = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1")(x)
-        h = SelfAttention(cfg, use_lora=self.use_lora, name="attention")(
+        h = SelfAttention(cfg, use_lora=True, name="attention")(
             h, deterministic=deterministic
         )
         ls1 = self.param(
@@ -226,9 +310,13 @@ class Dinov2Backbone(nn.Module):
         x = x + self._interpolated_pos(pos, hp, wp).astype(x.dtype)
         x = L.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
 
+        first_unfrozen = cfg.num_layers - cfg.num_unfrozen_layers
         for i in range(cfg.num_layers):
             x = Block(
-                cfg, use_lora=(i in cfg.lora_layers), name=f"layer{i}"
+                cfg,
+                use_lora=(i in cfg.lora_layers),
+                frozen=(i < first_unfrozen and i not in cfg.lora_layers),
+                name=f"layer{i}",
             )(x, deterministic=deterministic)
 
         x = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)

@@ -1,0 +1,343 @@
+"""Fused transformer-block Pallas kernel.
+
+Motivation (PERFORMANCE.md device trace, v5e, dinov2-small bs=128 train
+step): of a 44.3 ms step, ~11.8 ms were LayerNorm(+residual/LayerScale)
+fusions and ~5.7 ms softmax fusions — all HBM round-trips between the
+block's matmuls. This kernel runs an ENTIRE pre-norm ViT block
+(/root/reference's HF ``Dinov2Layer`` topology: LN1 -> qkv -> multi-head
+attention -> output projection -> LayerScale -> residual -> LN2 -> MLP
+(exact GELU) -> LayerScale -> residual) as ONE Pallas program per batch
+slice: activations, attention scores and the 4x MLP hidden tensor never
+leave VMEM. Per layer, HBM traffic drops to: read x once, write y once,
+read the (bf16) weights once.
+
+Scope and dispatch (see ``models/vit.py``):
+
+- Used for layers whose parameters are FROZEN (the production configs —
+  LoRA r=8 or unfreeze-last-N — freeze every block below the adapted/
+  unfrozen top, /root/reference/model/dinov2_pose.py:20-39,197-204), and
+  for all non-LoRA layers at inference. Backward never flows through
+  frozen blocks (the trainer differentiates only the trainable subtree,
+  train/step.py), so the kernel needs no Pallas backward there.
+- Differentiating through it IS still correct: the custom_vjp falls back
+  to ``jax.vjp`` of :func:`block_math` — the numerically-identical unfused
+  formulation below, which is also the module's non-fused compute path.
+- Weights must fit VMEM alongside one batch row's activations: true for
+  hidden_size <= ~512 (dinov2-small: 12*D^2 bf16 weights = 3.5 MB).
+  Larger backbones use the unfused path (XLA) until a weight-streaming
+  variant exists.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+class BlockParams(NamedTuple):
+    """One transformer block's parameters (a pytree; dtypes as stored).
+
+    Weight layouts match nn/layers.Dense: kernels are (in, out).
+    ``wqkv``/``bqkv`` are the q|k|v kernels/biases concatenated on the
+    output axis (the module already runs qkv as one fused matmul).
+    """
+
+    g1: Array       # (D,)   norm1 scale
+    b1: Array       # (D,)   norm1 bias
+    wqkv: Array     # (D, 3D)
+    bqkv: Array     # (3D,)
+    wo: Array       # (D, D)
+    bo: Array       # (D,)
+    ls1: Array      # (D,)   layerscale1
+    g2: Array       # (D,)
+    b2: Array       # (D,)
+    w1: Array       # (D, 4D)
+    bf1: Array      # (4D,)
+    w2: Array       # (4D, D)
+    bf2: Array      # (D,)
+    ls2: Array      # (D,)
+
+
+def _erf(x: Array) -> Array:
+    """float32 erf from primitives Pallas can lower (no erf/erfc on TPU).
+
+    Abramowitz & Stegun 7.1.26 rational approximation, |error| <= 1.5e-7 —
+    three orders of magnitude below bf16 resolution, so exact-GELU computed
+    with it is bitwise-indistinguishable from lax.erf after the bf16 cast.
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x: Array) -> Array:
+    """Exact GELU (matches jax.nn.gelu(approximate=False) within bf16)."""
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + _erf(xf * (2.0**-0.5)))).astype(x.dtype)
+
+
+def _layernorm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
+    """float32-stats LayerNorm, output in x.dtype (nn/layers.LayerNorm)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
+
+
+def _dense(x: Array, w: Array, b: Array) -> Array:
+    """bf16-MXU dense matching nn/layers.Dense numerics."""
+    return (jnp.dot(x, w.astype(x.dtype)) + b.astype(x.dtype)).astype(x.dtype)
+
+
+def block_math(
+    x: Array,
+    p: BlockParams,
+    *,
+    num_heads: int,
+    eps: float,
+    adapter=None,
+) -> Array:
+    """Unfused reference formulation (XLA path + custom_vjp fallback).
+
+    Numerically identical to the fused kernel; ``adapter`` is an optional
+    callable applied residually to the attention output (the LoRA hook,
+    /root/reference/model/lora.py:53-65 semantics — LoRA layers always take
+    this path).
+    """
+    from dino_pose_tpu.ops.attention import attention
+
+    b, s, d = x.shape
+    dh = d // num_heads
+
+    h = _layernorm(x, p.g1, p.b1, eps)
+    qkv = _dense(h, p.wqkv, p.bqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split(t):
+        return t.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+
+    ctx = attention(split(q), split(k), split(v), scale=dh**-0.5)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+    out = _dense(ctx, p.wo, p.bo)
+    if adapter is not None:
+        out = out + adapter(out)
+    x = x + out * p.ls1.astype(out.dtype)
+
+    h = _layernorm(x, p.g2, p.b2, eps)
+    h = _dense(h, p.w1, p.bf1)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense(h, p.w2, p.bf2)
+    return x + h * p.ls2.astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused kernel
+# ---------------------------------------------------------------------------
+
+def _block_kernel(
+    x_ref, g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2,
+    y_ref, *, num_heads: int, eps: float, valid_len: int,
+):
+    x = x_ref[...]                       # (G, Sp, D)
+    d = x.shape[-1]
+    dh = d // num_heads
+    scale = dh**-0.5
+    sp = x.shape[1]
+
+    a = _layernorm(x, g1[0], b1[0], eps)
+    qkv = (
+        jax.lax.dot_general(
+            a, wqkv[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bqkv[0].astype(x.dtype)
+    )
+
+    # Per-head attention, scores resident in VMEM. Head slices are static
+    # 64-lane column windows of the fused qkv tensor.
+    ctx_parts = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * dh : (h + 1) * dh]
+        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                        # (G, Sp, Sp) f32
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        ctx_parts.append(
+            jax.lax.dot_general(
+                probs, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx = jnp.concatenate(ctx_parts, axis=-1)
+
+    o = (
+        jax.lax.dot_general(
+            ctx, wo[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bo[0].astype(x.dtype)
+    )
+    x2 = x + o * ls1[0].astype(x.dtype)
+
+    m = _layernorm(x2, g2[0], b2[0], eps)
+    h1 = (
+        jax.lax.dot_general(
+            m, w1[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bf1[0].astype(x.dtype)
+    )
+    h1 = _gelu_exact(h1)
+    h2 = (
+        jax.lax.dot_general(
+            h1, w2[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bf2[0].astype(x.dtype)
+    )
+    y_ref[...] = x2 + h2 * ls2[0].astype(x.dtype)
+
+
+def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
+    """Largest batch-rows-per-program whose working set fits VMEM."""
+    budget = 10 * 1024 * 1024
+    weights = 12 * d * d * itemsize
+    per_row = 9 * sp * d * itemsize + 2 * sp * 4 * d * itemsize + sp * sp * 4
+    g = max(1, int((budget - weights) // max(1, per_row)))
+    for cand in (8, 4, 2, 1):
+        if cand <= g:
+            return cand
+    return 1
+
+
+def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    b, s, d = x.shape
+    sp = -(-s // 8) * 8  # sublane padding only; Mosaic pads lanes internally
+    xp = jnp.pad(x, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x
+
+    # Weights to the compute dtype once (same cast the unfused path does);
+    # norm/scale vectors stay float32 and are reshaped 2-D for VMEM.
+    wdt = x.dtype
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mats = dict(
+        wqkv=p.wqkv.astype(wdt), wo=p.wo.astype(wdt),
+        w1=p.w1.astype(wdt), w2=p.w2.astype(wdt),
+    )
+    vecs = dict(
+        g1=vec(p.g1), b1=vec(p.b1), bqkv=vec(p.bqkv), bo=vec(p.bo),
+        ls1=vec(p.ls1), g2=vec(p.g2), b2=vec(p.b2), bf1=vec(p.bf1),
+        bf2=vec(p.bf2), ls2=vec(p.ls2),
+    )
+
+    g = _rows_per_program(sp, d, x.dtype.itemsize)
+    while b % g:
+        g //= 2
+    g = max(g, 1)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    order = ["g1", "b1", "wqkv", "bqkv", "wo", "bo", "ls1",
+             "g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    args = [mats[k] if k in mats else vecs[k] for k in order]
+
+    flops_per_row = (
+        2 * sp * d * 3 * d          # qkv
+        + 4 * sp * sp * d            # attention
+        + 2 * sp * d * d             # out proj
+        + 4 * sp * d * 4 * d         # mlp
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel, num_heads=num_heads, eps=eps, valid_len=s
+        ),
+        grid=(b // g,),
+        in_specs=[xspec] + [const(a) for a in args],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_per_row,
+            bytes_accessed=2 * b * sp * d * x.dtype.itemsize
+            + 12 * d * d * x.dtype.itemsize,
+            transcendentals=b * (num_heads * sp * sp + sp * 4 * d),
+        ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(xp, *args)
+    return out[:, :s, :] if sp != s else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_block(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    """Fused-forward transformer block; differentiable via the unfused math."""
+    return _fused_forward(x, p, num_heads, eps)
+
+
+def _fwd(x, p, num_heads, eps):
+    return _fused_forward(x, p, num_heads, eps), (x, p)
+
+
+def _bwd(num_heads, eps, residuals, dy):
+    # Fallback VJP: exact gradients through the unfused formulation. The
+    # production trainer never differentiates through fused (frozen) blocks
+    # — this path exists for correctness, not speed.
+    x, p = residuals
+    _, vjp = jax.vjp(
+        lambda x_, p_: block_math(x_, p_, num_heads=num_heads, eps=eps), x, p
+    )
+    return vjp(dy)
+
+
+fused_block.defvjp(_fwd, _bwd)
+
+
+def fused_blocks_enabled(hidden_size: int) -> bool:
+    """Static dispatch: fused blocks on a TPU backend, small-enough weights.
+
+    ``DINO_POSE_TPU_BLOCK=fused|unfused`` overrides (benchmark hook).
+    Multi-device meshes use the unfused path for now: pallas_call under a
+    pjit-sharded batch is not auto-partitioned, so the fused kernel is
+    single-chip only until a shard_map integration lands (ROADMAP).
+    """
+    import os
+
+    override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
+    if override in ("fused", "pallas"):
+        return True
+    if override in ("unfused", "xla"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and hidden_size <= 512
+    )

@@ -1,0 +1,90 @@
+"""Fused transformer-block kernel vs the unfused math (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dino_pose_tpu.ops.block import BlockParams, block_math, fused_block
+
+D, H, S, B = 64, 2, 57, 4  # S deliberately not a multiple of 8
+EPS = 1e-6
+
+
+@pytest.fixture(scope="module")
+def params():
+    rng = np.random.default_rng(0)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05
+    return BlockParams(
+        g1=1 + r(D), b1=r(D), wqkv=r(D, 3 * D), bqkv=r(3 * D),
+        wo=r(D, D), bo=r(D), ls1=1 + r(D), g2=1 + r(D), b2=r(D),
+        w1=r(D, 4 * D), bf1=r(4 * D), w2=r(4 * D, D), bf2=r(D),
+        ls2=1 + r(D),
+    )
+
+
+def test_fused_matches_unfused_f32(params):
+    x = np.random.default_rng(1).standard_normal((B, S, D)).astype(np.float32)
+    want = block_math(jnp.asarray(x), params, num_heads=H, eps=EPS)
+    got = fused_block(jnp.asarray(x), params, H, EPS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_matches_unfused_bf16(params):
+    x = np.random.default_rng(2).standard_normal((B, S, D)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    want = block_math(xb, params, num_heads=H, eps=EPS)
+    got = fused_block(xb, params, H, EPS)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_fused_gradients_match_unfused(params):
+    """The fallback VJP must give the exact unfused gradients (x AND params)."""
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, S, D)).astype(np.float32)
+    )
+
+    def loss_fused(x_, p_):
+        return jnp.sum(jnp.square(fused_block(x_, p_, H, EPS)))
+
+    def loss_unfused(x_, p_):
+        return jnp.sum(jnp.square(block_math(x_, p_, num_heads=H, eps=EPS)))
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_u, gp_u = jax.grad(loss_unfused, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_u), atol=1e-4, rtol=1e-3)
+    for a, b in zip(gp_f, gp_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_block_module_routes_and_trees_match():
+    """Module init trees are identical across fused/unfused routes, and the
+    frozen (fused-eligible) route equals the legacy module path numerically."""
+    import os
+
+    from dino_pose_tpu.models.vit import Block, ViTConfig
+
+    cfg = ViTConfig(hidden_size=D, num_layers=2, num_heads=H)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, S, D)).astype(np.float32)
+    )
+    frozen = Block(cfg, frozen=True)
+    trainable = Block(cfg, frozen=False)
+    vf = frozen.init(jax.random.key(0), x, deterministic=True)
+    vt = trainable.init(jax.random.key(0), x, deterministic=True)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vt)
+    flat_f = jax.tree_util.tree_leaves(vf)
+    flat_t = jax.tree_util.tree_leaves(vt)
+    for a, b in zip(flat_f, flat_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    os.environ["DINO_POSE_TPU_BLOCK"] = "fused"
+    try:
+        got = frozen.apply(vf, x, deterministic=True)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_BLOCK", None)
+    want = trainable.apply(vt, x, deterministic=False)  # block_math route
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
