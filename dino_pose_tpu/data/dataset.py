@@ -281,8 +281,13 @@ def create_dataloaders(
     render_targets: bool = True,
     device_warp: bool = False,
     seed: int = 0,
+    shard_by_process: bool = False,
 ) -> DataLoader:
-    """Reference factory shape (/root/reference/data_loader/data_loader.py:197-246)."""
+    """Reference factory shape (/root/reference/data_loader/data_loader.py:197-246).
+
+    ``shard_by_process=True`` makes each JAX process load a disjoint slice of
+    the dataset (multi-host data parallelism; see core/distributed.py).
+    """
     from dino_pose_tpu.models.registry import resolve_model_name
 
     actual_model_name = resolve_model_name(config_model["model_name"])
@@ -306,4 +311,5 @@ def create_dataloaders(
         num_workers=num_workers,
         drop_last=drop_last,
         seed=seed,
+        shard_by_process=shard_by_process,
     )

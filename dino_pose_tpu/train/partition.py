@@ -2,9 +2,10 @@
 
 The reference expresses freezing through ``requires_grad`` flags
 (/root/reference/model/dinov2_pose.py:20-39, fastvit_pose.py:38-41,122-124);
-here it is a boolean pytree consumed by ``optax.multi_transform`` — frozen
-parameters get a zero update (and no optimizer state), which also keeps them
-out of weight decay exactly like torch's AdamW on requires_grad=False params.
+here it is a boolean pytree used to *split* the parameter tree: the optimizer
+sees only the trainable subtree (gradients, optimizer state and weight decay
+never touch frozen params — and the backward graph stops at the deepest
+trainable parameter), and the frozen subtree is merged back after each update.
 """
 
 from __future__ import annotations

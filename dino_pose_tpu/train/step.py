@@ -82,14 +82,18 @@ def make_train_step(module, tx, partition) -> Callable:
 
 def make_eval_step(module) -> Callable:
     def eval_step(state: TrainState, batch: dict):
+        # Optional (B,) 0/1 mask from data.dataset.pad_batch: evaluation runs
+        # with drop_last=False, so the tail batch arrives zero-padded to the
+        # static batch shape and padded samples must not dilute the loss.
+        sample_valid = batch.get("sample_valid")
         confidence = batch["2d_keypoints"][..., 2]
         pred_hm, pred_z = module.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"],
             train=False,
         )
-        kp_l = keypoint_loss(pred_hm, batch["2d_heatmaps"], confidence)
-        z_l = z_loss(pred_z, batch["z_coords"], confidence)
+        kp_l = keypoint_loss(pred_hm, batch["2d_heatmaps"], confidence, sample_valid)
+        z_l = z_loss(pred_z, batch["z_coords"], confidence, sample_valid)
         loss = weighting.validation_loss(state.loss_weight, kp_l, z_l)
         return {
             "loss": loss,
