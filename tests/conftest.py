@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the e2e tests build several structurally
+# identical pjit programs (every fit() re-jits its own closures); the disk
+# cache collapses those to one compile within a run and across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/dino_pose_tpu_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -17,6 +17,9 @@ from dino_pose_tpu.models.fastvit import (
 )
 from dino_pose_tpu.train.partition import trainable_mask
 
+# FastViT end-to-end builds/training smoke.
+pytestmark = pytest.mark.slow
+
 
 def test_presets_cover_reference_variants():
     for v in ("t8", "sa12", "sa24", "sa36", "ma36"):

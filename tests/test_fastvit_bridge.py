@@ -7,6 +7,9 @@ import pytest
 from dino_pose_tpu.io import checkpoint as ck
 from dino_pose_tpu.models import registry
 
+# Full FastViT bridge round-trips.
+pytestmark = pytest.mark.slow
+
 CONFIG = {
     "model_name": "test/fastvit-tiny",
     "num_keypoints": 24,

@@ -4,6 +4,10 @@ import jax
 import jax.numpy as jnp
 
 import __graft_entry__ as ge
+import pytest
+
+# Compiles the flagship dinov2-small forward + the multichip dryrun.
+pytestmark = pytest.mark.slow
 
 
 def test_entry_traces():

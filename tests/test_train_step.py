@@ -12,6 +12,10 @@ from dino_pose_tpu.train.partition import trainable_mask
 from dino_pose_tpu.train.schedule import PlateauState, plateau_step
 from dino_pose_tpu.train.state import create_train_state
 from dino_pose_tpu.train.step import jit_eval_step, jit_train_step
+import pytest
+
+# Compiles DP/TP train steps on the 8-device mesh.
+pytestmark = pytest.mark.slow
 
 
 def synthetic_batch(rng, batch_size):
