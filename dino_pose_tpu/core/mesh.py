@@ -45,7 +45,14 @@ def create_mesh(
             f"got {len(devices)}"
         )
     dev_array = np.asarray(devices).reshape(spec.dp, spec.tp)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    # Pallas dispatch (ops/block.py) must know the platform the next traces
+    # execute on: mesh devices can be a non-default platform (e.g. the
+    # multichip dryrun's virtual-CPU mesh while the TPU plugin is default).
+    from dino_pose_tpu.ops.block import configure_for_mesh
+
+    configure_for_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -321,6 +321,21 @@ def _bwd(num_heads, eps, residuals, dy):
 fused_block.defvjp(_fwd, _bwd)
 
 
+# Trace-time dispatch target, set by mesh-aware callers (fit(), the
+# multichip dryrun). pallas_call must decide compiled-vs-interpret at trace
+# time, and ``jax.default_backend()`` is WRONG when the computation targets
+# devices of a non-default platform — e.g. the driver's dryrun builds a
+# virtual-CPU mesh while the TPU plugin stays the default backend.
+_DISPATCH: tuple[str, int] | None = None
+
+
+def configure_for_mesh(mesh) -> None:
+    """Record the platform/device-count the next traces will execute on."""
+    global _DISPATCH
+    dev = mesh.devices.flat[0]
+    _DISPATCH = (dev.platform, mesh.devices.size)
+
+
 def fused_blocks_enabled(hidden_size: int) -> bool:
     """Static dispatch: fused blocks on a TPU backend, small-enough weights.
 
@@ -336,8 +351,9 @@ def fused_blocks_enabled(hidden_size: int) -> bool:
         return True
     if override in ("unfused", "xla"):
         return False
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and hidden_size <= 512
+    platform, n_devices = (
+        _DISPATCH
+        if _DISPATCH is not None
+        else (jax.default_backend(), jax.device_count())
     )
+    return platform == "tpu" and n_devices == 1 and hidden_size <= 512
