@@ -11,6 +11,16 @@ q/k/v and fc1 shard their output features over 'model' (head-parallel
 attention), the attention out-projection and fc2 shard their input features,
 so each block needs a single all-reduce per residual branch — inserted by XLA
 from these shardings; there is no hand-written communication code.
+
+FastViT deliberately has NO tensor-parallel rules — all its parameters fall
+through to replication. Decision: the largest production variant (ma36,
+~44M params, /root/reference/model/model_utils.py registry) fits one chip's
+HBM with room for bs=128 activations; its compute is dominated by spatial
+convolutions whose per-layer channel counts (48-1216) shard poorly over
+'model' (uneven tiles, halo exchanges for 7x7 depthwise kernels), and the
+arithmetic intensity lost to the extra collectives exceeds any memory win.
+FastViT scales over the 'data' axis only; revisit if a >300M-param conv
+backbone is ever registered.
 """
 
 from __future__ import annotations
