@@ -87,6 +87,9 @@ def benchmark_model(
 
 
 def main(argv=None) -> None:
+    from dino_pose_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Benchmark pose model inference")
     parser.add_argument("--model", type=str, default="facebook/dinov2-small",
                         help="Checkpoint path, backbone name, or family name")

@@ -10,6 +10,9 @@ from dino_pose_tpu.cli.benchmark_model import benchmark_model
 
 
 def main(argv=None) -> None:
+    from dino_pose_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Compare two pose models")
     parser.add_argument("--model_a", type=str, default="facebook/dinov2-small")
     parser.add_argument("--model_b", type=str, default="timm/fastvit_t8.apple_in1k")

@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from dino_pose_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     export(args.checkpoint, args.output)
 

@@ -101,6 +101,9 @@ def fit(
     """
     checkpoint_dir = config_training["checkpoint_dir"]
     os.makedirs(checkpoint_dir, exist_ok=True)
+    from dino_pose_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     maybe_initialize_distributed()
     n_proc = jax.process_count()
     mesh = mesh if mesh is not None else create_mesh()
@@ -184,7 +187,14 @@ def fit(
         weight_decay=config_training.get("weight_decay", 1e-6),
         initial_loss_weight=float(resume_ckpt.get("loss_weight", 0.1)) if resume_ckpt else 0.1,
     )
-    scheduler = PlateauState(lr=float(config_training["learning_rate"]))
+    # Plateau defaults match the reference exactly (train.py:289-295);
+    # the keys are optional overrides the reference does not expose.
+    scheduler = PlateauState(
+        lr=float(config_training["learning_rate"]),
+        factor=float(config_training.get("lr_factor", 0.7)),
+        patience=int(config_training.get("lr_patience", 3)),
+        min_lr=float(config_training.get("min_lr", 1e-6)),
+    )
     start_epoch = 0
     if resume_ckpt is not None and load_path.endswith(".msgpack"):
         state, scheduler, start_epoch = ck.restore_train_state(resume_ckpt, state, scheduler)

@@ -1,0 +1,187 @@
+"""Accuracy-trajectory regression harness (VERDICT r1 "Next round" #6).
+
+Overfits the flagship configuration — dinov2-small, 24 keypoints, LoRA r=8,
+spatial-aware heads — on a small synthetic COCO dataset on the real TPU and
+records the PCKh@0.5 (2D/z) and PCK@0.2-bbox trajectory. The reference's
+dataset is not available in this environment, so this does not demonstrate
+absolute accuracy; it demonstrates that the full loop (device-rendered
+targets, masked losses, dynamic loss weighting, plateau LR, PCKh-gated
+checkpointing) optimises the right objective end to end on hardware:
+PCK@0.2 must reach ~1.0 and PCKh@0.5 must climb monotonically-ish.
+
+Run:  python scripts/accuracy_trajectory.py [--epochs 150] [--out DIR]
+Record: DIR/metrics.csv + DIR/loss_plot.png + DIR/trajectory.json
+(the round-2 record lives in docs/accuracy_r2/; see PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 24
+
+
+def make_dataset(root: str, n_images: int, seed: int = 0) -> None:
+    """Synthetic COCO-format dataset: textured images + random 24-kp poses.
+
+    Images are smooth random textures (not pure noise) so JPEG decode cost
+    stays low and the backbone sees structured inputs; keypoints/z are random
+    per image — the overfit target is memorisation, which exercises the whole
+    decode/metric path.
+    """
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    # Canonical skeleton (x, y offsets in px) so every image has a sane
+    # top-neck distance — the PCKh@0.5 threshold is 0.5*|top-neck|, and
+    # uniformly-random keypoints make it degenerate (arbitrarily small)
+    # which caps the metric regardless of prediction quality.
+    # Keep the pose CENTRAL: the reference eval protocol decodes heatmaps
+    # straight to original-image scale while training targets live in the
+    # (center-)crop frame (/root/reference/src/model_utils.py:100 vs the
+    # augmentation chain) — a deliberate bug-for-bug parity choice whose
+    # coordinate skew grows linearly from the image center (zero at center,
+    # ~16 px at the crop edge for 256->224). Central square poses keep that
+    # protocol skew well under the PCKh threshold.
+    canon = np.zeros((K, 2))
+    canon[:, 0] = rng.uniform(-55, 55, K)
+    canon[:, 1] = rng.uniform(-55, 55, K)
+    canon[0] = (0, -55)   # TOP
+    canon[1] = (0, -25)   # NECK
+    canon_z = rng.uniform(-40, 40, K)  # z is a function of keypoint index
+    # One distinct, saturated colour per keypoint index: the pose is a
+    # function of VISIBLE content (learn localisation, the actual task
+    # shape) rather than a texture->pose memorisation problem, which a
+    # random frozen backbone resolves far too slowly to make a useful
+    # regression signal (measured: PCKh stuck <0.1 after 50 epochs).
+    hues = np.linspace(0.0, 1.0, K, endpoint=False)
+    colors = np.stack(
+        [
+            255 * np.clip(np.abs(((hues * 6 + s) % 6) - 3) - 1, 0, 1)
+            for s in (0, 4, 2)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    images, annotations = [], []
+    for i in range(n_images):
+        w = h = 256  # square: keeps the train-crop/eval-scale frames aligned
+        # Distinct mid-frequency texture: upsampled 32x32 noise.
+        base = rng.integers(0, 64, (32, 32, 3), dtype=np.uint8)  # dim backdrop
+        img = np.asarray(
+            Image.fromarray(base).resize((w, h), Image.BICUBIC), dtype=np.uint8
+        ).copy()
+        center = np.array([w / 2, h / 2]) + rng.uniform(-20, 20, 2)
+        pose = center + canon + rng.normal(0, 6, (K, 2))  # per-image jitter
+        pose[:, 0] = pose[:, 0].clip(8, w - 8)
+        pose[:, 1] = pose[:, 1].clip(8, h - 8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for j in range(K):
+            blob = (xx - pose[j, 0]) ** 2 + (yy - pose[j, 1]) ** 2 <= 36
+            img[blob] = colors[j]
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i}.jpg"), quality=90)
+        kps = np.concatenate([pose, np.full((K, 1), 2.0)], axis=1)
+        images.append({"id": i, "file_name": f"{i}.jpg", "width": w, "height": h})
+        annotations.append(
+            {
+                "id": i,
+                "image_id": i,
+                "num_keypoints": K,
+                "keypoints": kps.reshape(-1).tolist(),
+                "keypoints_z": (canon_z + rng.normal(0, 2, K)).tolist(),
+            }
+        )
+    with open(os.path.join(root, "ann.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--n-images", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--save-freq", type=int, default=10, help="PCKh eval cadence")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="/tmp/accuracy_trajectory")
+    ap.add_argument("--data", default=None, help="reuse an existing dataset dir")
+    args = ap.parse_args()
+
+    data_dir = args.data or os.path.join(args.out, "data")
+    if not os.path.exists(os.path.join(data_dir, "ann.json")):
+        make_dataset(data_dir, args.n_images)
+    ckpt_dir = os.path.join(args.out, "ckpt")
+
+    from dino_pose_tpu.config import get_default_configs
+    from dino_pose_tpu.train.loop import fit
+
+    config_dataset, config_training, config_preproc, config_model = get_default_configs()
+    config_dataset.update(
+        train_images_dir=os.path.join(data_dir, "images"),
+        train_annotation_json=os.path.join(data_dir, "ann.json"),
+        val_images_dir=os.path.join(data_dir, "images"),
+        val_annotation_json=os.path.join(data_dir, "ann.json"),
+    )
+    # Deterministic overfit: geometry augmentations off (the point is the
+    # trajectory, not generalisation).
+    config_preproc.update(
+        is_scale=False, is_rotate=False, is_flipped=False, is_occultation=False,
+        pre_crop=False,
+    )
+    config_training.update(
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        learning_rate=args.lr,
+        save_freq=args.save_freq,
+        checkpoint_dir=ckpt_dir,
+        multiprocessing_num=2,
+        auto_resume=False,
+        # Constant LR: the plateau scheduler (reference semantics) decays on
+        # the val-loss plateau that an overfit run hits long before PCKh
+        # saturates, freezing learning (measured: lr 1e-3 -> 2.8e-5 by
+        # epoch 71 with PCKh stuck at 0.17).
+        min_lr=args.lr,
+    )
+    # Flagship: dinov2-small + LoRA r=8 (reference config/config.py defaults).
+    config_model.update(model_name="facebook/dinov2-small")
+
+    history = fit(
+        config_dataset, config_training, config_preproc, config_model,
+        progress=False, export_pth=False,
+    )
+
+    # Final full-metric pass (adds PCK@0.2-bbox, which the loop's gate omits).
+    from dino_pose_tpu.io import checkpoint as ck
+    from dino_pose_tpu.train.evaluate import compute_pckh_dataset
+
+    model = ck.load_model_smart(os.path.join(ckpt_dir, "final_model.msgpack"))
+    full = compute_pckh_dataset(
+        model,
+        config_dataset["val_images_dir"],
+        config_dataset["val_annotation_json"],
+        return_all=True,
+    )
+    record = {
+        "final_metrics": {k: float(v) for k, v in full.items()},
+        "train_loss": history["train_loss"],
+        "val_loss": history["val_loss"],
+        "config": {
+            "model": config_model["model_name"], "lora": True,
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "lr": args.lr, "n_images": args.n_images,
+        },
+    }
+    with open(os.path.join(args.out, "trajectory.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print("FINAL:", json.dumps(record["final_metrics"]))
+    print(f"Record written to {args.out} (metrics.csv lives in {ckpt_dir})")
+
+
+if __name__ == "__main__":
+    main()
