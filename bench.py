@@ -180,6 +180,9 @@ def bench_input(n_images: int = 64, batch_size: int = 32, num_workers: int = 4) 
 
 
 def main():
+    from dino_pose_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["train", "infer", "input"], default="train")
     ap.add_argument("--batch-size", type=int, default=128)

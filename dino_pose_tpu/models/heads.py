@@ -83,6 +83,16 @@ class HourglassModule(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         c = self.out_channels
         in_c = x.shape[-1]
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            # Same constraint as the reference (stride-2 down + 2x deconv up
+            # can't reproduce an odd size: 23 -> 12 -> 24 != 23). dinov2 at
+            # 224 gives an even 16x16 grid; 322/518 give odd 23/37 grids and
+            # fail in torch too — surface it clearly instead of a shape error.
+            raise ValueError(
+                f"HourglassModule needs an even spatial grid, got "
+                f"{x.shape[1]}x{x.shape[2]} (input_size/patch_size must be "
+                f"even; reference pose_heads.py:211-285 has the same limit)"
+            )
 
         skip = ConvBNRelu(c, kernel_size=(1, 1), padding=(0, 0), name="skip")(x, train=train)
 

@@ -36,7 +36,7 @@ from dino_pose_tpu.ops.attention import attention
 from dino_pose_tpu.ops.block import (
     BlockParams,
     block_math,
-    fused_block,
+    dispatch_block,
     fused_blocks_enabled,
 )
 
@@ -242,8 +242,8 @@ class Block(nn.Module):
         # Fused kernel when no gradient will flow through this block's
         # params (frozen layer, or any inference pass): its VJP falls back
         # to the unfused math, which production never triggers.
-        if (self.frozen or deterministic) and fused_blocks_enabled(d):
-            return fused_block(x, p, cfg.num_heads, cfg.layer_norm_eps)
+        if (self.frozen or deterministic) and fused_blocks_enabled(d, x.shape[1]):
+            return dispatch_block(x, p, cfg.num_heads, cfg.layer_norm_eps)
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:

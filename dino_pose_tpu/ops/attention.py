@@ -8,8 +8,9 @@ enough that an entire (S, S) score tile fits in VMEM, so the Pallas kernel is a
 padding keys masked. No online-softmax bookkeeping is needed at this size and
 the softmax never round-trips through HBM.
 
-The backward pass reuses the XLA formulation via ``jax.custom_vjp`` (flash-style
-rematerialisation: probabilities are recomputed, not stored).
+The backward pass is a Pallas kernel too (one program per (batch, head):
+probabilities are rematerialised q-chunk by q-chunk so no (S, S) tensor ever
+reaches HBM in either direction), with an XLA fallback for CPU/odd shapes.
 """
 
 from __future__ import annotations
@@ -20,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from dino_pose_tpu.ops.dispatch import target as _dispatch_target
 
 _LANES = 128
 _NEG_INF = -1e30
@@ -105,9 +108,119 @@ def _pallas_forward(q, k, v, scale: float):
             bytes_accessed=4 * b * h * sp * d * q.dtype.itemsize,
             transcendentals=b * h * sp * sp,
         ),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+        interpret=_dispatch_target()[0] != "tpu",  # CPU runs interpreted
     )(qp, kp, vp)
     return out.reshape(b, h, sp, d)[:, :, :s, :]
+
+
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float, valid_len: int, chunk: int,
+):
+    """dq/dk/dv for one (batch, head): flash-style rematerialisation.
+
+    Probabilities are recomputed per q-chunk, so the live f32 score tiles are
+    (chunk, Sp) — never the full (Sp, Sp) — and dk/dv accumulate in VMEM f32.
+    Each chunk's score rows are COMPLETE rows, so the softmax (with its own
+    row max) is exact; no saved logsumexp from the forward is needed.
+    Padded q rows carry zero cotangent and padded k columns are masked to
+    -inf, so every padded-lane contribution is exactly zero.
+    """
+    q = q_ref[0]   # (Sp, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = g_ref[0]
+    sp, d = q.shape
+    dk = jnp.zeros((sp, d), jnp.float32)
+    dv = jnp.zeros((sp, d), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, sp), 1)
+    for i in range(sp // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        qi = q[sl]
+        doi = do[sl]
+        s = jax.lax.dot_general(
+            qi, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # (chunk, Sp) f32
+        if valid_len < sp:
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)       # f32
+        dp = jax.lax.dot_general(
+            doi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (chunk, Sp) f32
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        pb = p.astype(do.dtype)
+        dsb = ds.astype(q.dtype)
+        dv = dv + jax.lax.dot_general(
+            pb, doi, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (Sp, D)
+        dk = dk + jax.lax.dot_general(
+            dsb, qi, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, sl, :] = (
+            jax.lax.dot_general(
+                dsb, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        ).astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+_BWD_CHUNK = 128
+
+
+def _bwd_chunk(s: int) -> tuple[int, int]:
+    """(padded_seq, q_chunk) for the backward kernel.
+
+    The chunk loop is UNROLLED in the kernel body, so the sequence is padded
+    up to a multiple of a fixed 128-row chunk to bound the unroll at
+    ceil(S/128) iterations — choosing whatever small chunk happens to divide
+    the 8-aligned length (e.g. 8 rows at Sp=584) produced 70+ unrolled
+    iterations and pathological Mosaic compile times (measured: >20 min at
+    S=577). Short sequences run as one chunk.
+    """
+    if s <= _BWD_CHUNK:
+        sp = -(-s // 8) * 8
+        return sp, sp
+    sp = -(-s // _BWD_CHUNK) * _BWD_CHUNK
+    return sp, _BWD_CHUNK
+
+
+def _pallas_backward(q, k, v, g, scale: float):
+    b, h, s, d = q.shape
+    sp, chunk = _bwd_chunk(s)
+    pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
+    qp, kp, vp, gp = (
+        jnp.pad(t, pad).reshape(b * h, sp, d) for t in (q, k, v, g)
+    )
+    spec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b * h, sp, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel, scale=scale, valid_len=s, chunk=chunk
+        ),
+        grid=(b * h,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=7 * b * h * sp * d * q.dtype.itemsize,
+            transcendentals=b * h * sp * sp,
+        ),
+        interpret=_dispatch_target()[0] != "tpu",
+    )(qp, kp, vp, gp)
+
+    def unpad(t):
+        return t.reshape(b, h, sp, d)[:, :, :s, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -121,15 +234,24 @@ def _fwd(q, k, v, scale):
 
 def _bwd(scale, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    return _pallas_backward(q, k, v, g, scale)
 
 
 flash_attention.defvjp(_fwd, _bwd)
 
 
+# Sequence length above which the flash kernel beats XLA's unfused path,
+# measured end-to-end on TPU v5e (see PERFORMANCE.md "518-input" table):
+# at S=257 XLA wins (44.3 vs 49.3 ms/step r1; the f32 score traffic is
+# cheap and the per-program pipeline overhead dominates), while at longer
+# sequences the O(S^2) HBM score traffic grows quadratically and the
+# VMEM-resident kernel takes over.
+FLASH_MIN_SEQ = 512
+
+
 def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
-    """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
+    """Shape-aware dispatch: Pallas flash kernel on TPU for long sequences
+    (S >= FLASH_MIN_SEQ), XLA's fused unfused-attention otherwise.
 
     ``DINO_POSE_TPU_ATTENTION=xla|pallas`` overrides (benchmarking hook).
     """
@@ -140,15 +262,9 @@ def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
         if override in ("xla", "pallas"):
             use_pallas = override == "pallas"
         else:
-            # Measured on TPU v5e (dinov2 at 224 input, S=257, D=64, bs=128):
-            # the XLA path wins end-to-end (44.3 vs 49.3 ms/step) — at short
-            # sequences the bf16 score traffic is cheap and the per-program
-            # Pallas pipeline doesn't pay for itself, so XLA is the default.
-            # The fused kernel keeps the O(S^2) scores out of HBM and is the
-            # right choice for long sequences (override with
-            # DINO_POSE_TPU_ATTENTION=pallas); the production pose models all
-            # run S=257, where XLA wins.
-            use_pallas = False
+            use_pallas = (
+                _dispatch_target()[0] == "tpu" and q.shape[2] >= FLASH_MIN_SEQ
+            )
     if use_pallas:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

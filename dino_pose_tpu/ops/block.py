@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dino_pose_tpu.ops.dispatch import (
+    configure_for_mesh,  # noqa: F401  (re-exported for core.mesh)
+    target as _dispatch_target,
+)
+
 Array = jax.Array
 
 _NEG_INF = -1e30
@@ -228,16 +233,29 @@ def _block_kernel(
     y_ref[...] = x2 + h2 * ls2[0].astype(x.dtype)
 
 
-def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
-    """Largest batch-rows-per-program whose working set fits VMEM."""
-    budget = 10 * 1024 * 1024
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _block_working_set(sp: int, d: int, itemsize: int) -> tuple[int, int]:
+    """(weights_bytes, per_batch_row_bytes) of the fused kernel in VMEM."""
     weights = 12 * d * d * itemsize
     per_row = 9 * sp * d * itemsize + 2 * sp * 4 * d * itemsize + sp * sp * 4
-    g = max(1, int((budget - weights) // max(1, per_row)))
+    return weights, per_row
+
+
+def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
+    """Largest batch-rows-per-program whose working set fits VMEM.
+
+    Returns 0 when even one row does not fit (long sequences) — callers
+    must fall back to the unfused path (``fused_blocks_enabled`` gates on
+    this, so in practice the kernel is never built for such shapes).
+    """
+    weights, per_row = _block_working_set(sp, d, itemsize)
+    g = int((_VMEM_BUDGET - weights) // max(1, per_row))
     for cand in (8, 4, 2, 1):
         if cand <= g:
             return cand
-    return 1
+    return 0
 
 
 def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
@@ -259,10 +277,9 @@ def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Arra
         bf2=vec(p.bf2), ls2=vec(p.ls2),
     )
 
-    g = _rows_per_program(sp, d, x.dtype.itemsize)
+    g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
     while b % g:
         g //= 2
-    g = max(g, 1)
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -292,7 +309,7 @@ def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Arra
             + 12 * d * d * x.dtype.itemsize,
             transcendentals=b * (num_heads * sp * sp + sp * 4 * d),
         ),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+        interpret=_dispatch_target()[0] != "tpu",  # CPU runs interpreted
     )(xp, *args)
     return out[:, :s, :] if sp != s else out
 
@@ -321,23 +338,55 @@ def _bwd(num_heads, eps, residuals, dy):
 fused_block.defvjp(_fwd, _bwd)
 
 
-# Trace-time dispatch target, set by mesh-aware callers (fit(), the
-# multichip dryrun). pallas_call must decide compiled-vs-interpret at trace
-# time, and ``jax.default_backend()`` is WRONG when the computation targets
-# devices of a non-default platform — e.g. the driver's dryrun builds a
-# virtual-CPU mesh while the TPU plugin stays the default backend.
-_DISPATCH: tuple[str, int] | None = None
+def fused_block_sharded(
+    x: Array, p: BlockParams, num_heads: int, eps: float, mesh
+) -> Array:
+    """Fused block under a multi-device mesh via ``shard_map``.
+
+    ``pallas_call`` is not auto-partitioned by pjit, so the kernel is mapped
+    manually: batch sharded over the mesh 'data' axis, parameters replicated
+    (P()), one fused program per shard. Requires the 'model' axis to be
+    trivial — Megatron-sharded weights would need per-layer all-gathers
+    here, which defeats the kernel (those configs use the unfused path).
+    Inside the trainer's pjit step the batch already carries a
+    ``P('data')`` sharding, so no resharding is inserted.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        lambda x_, p_: fused_block(x_, p_, num_heads, eps),
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=P("data"),
+        check_rep=False,  # custom_vjp inside; skip the replication checker
+    )(x, p)
 
 
-def configure_for_mesh(mesh) -> None:
-    """Record the platform/device-count the next traces will execute on."""
-    global _DISPATCH
-    dev = mesh.devices.flat[0]
-    _DISPATCH = (dev.platform, mesh.devices.size)
+def dispatch_block(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    """Route to the plain or shard_map-wrapped fused kernel by mesh size."""
+    from dino_pose_tpu.ops.dispatch import target_mesh
+
+    platform, n_devices = _dispatch_target()
+    mesh = target_mesh()
+    if (
+        n_devices > 1
+        and mesh is not None
+        and mesh.devices.size == n_devices
+        and x.shape[0] % mesh.shape.get("data", 1) == 0
+    ):
+        return fused_block_sharded(x, p, num_heads, eps, mesh)
+    return fused_block(x, p, num_heads, eps)
 
 
-def fused_blocks_enabled(hidden_size: int) -> bool:
-    """Static dispatch: fused blocks on a TPU backend, small-enough weights.
+def fused_blocks_enabled(hidden_size: int, seq_len: int = 257) -> bool:
+    """Static dispatch: fused blocks on a TPU backend, small-enough shapes.
+
+    The working set (weights + one batch row's activations and scores) must
+    fit VMEM: true for hidden_size <= ~512 at production sequence lengths,
+    false for long sequences (e.g. dinov2 at 518 input runs S=1370, whose
+    f32 score tile alone is 7.6 MB) — those fall back to the unfused path,
+    whose attention dispatch picks the flash kernel instead.
 
     ``DINO_POSE_TPU_BLOCK=fused|unfused`` overrides (benchmark hook).
     Multi-device meshes use the unfused path for now: pallas_call under a
@@ -351,9 +400,21 @@ def fused_blocks_enabled(hidden_size: int) -> bool:
         return True
     if override in ("unfused", "xla"):
         return False
-    platform, n_devices = (
-        _DISPATCH
-        if _DISPATCH is not None
-        else (jax.default_backend(), jax.device_count())
+    platform, n_devices = _dispatch_target()
+    if platform != "tpu" or hidden_size > 512:
+        return False
+    sp = -(-seq_len // 8) * 8
+    if _rows_per_program(sp, hidden_size, 2) < 1:
+        return False
+    if n_devices == 1:
+        return True
+    # Multi-device: fused via shard_map (dispatch_block) — pure-DP meshes
+    # only; Megatron ('model'-axis) sharded weights stay on the unfused path.
+    from dino_pose_tpu.ops.dispatch import target_mesh
+
+    mesh = target_mesh()
+    return (
+        mesh is not None
+        and mesh.devices.size == n_devices
+        and mesh.shape.get("model", 1) == 1
     )
-    return platform == "tpu" and n_devices == 1 and hidden_size <= 512

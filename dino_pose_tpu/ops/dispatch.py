@@ -1,0 +1,37 @@
+"""Trace-time kernel-dispatch target.
+
+Pallas kernels must decide compiled-vs-interpret (and whether to run at
+all) at trace time, and ``jax.default_backend()`` is the WRONG signal when
+the computation targets devices of a non-default platform — e.g. the
+multichip dryrun builds a virtual-CPU mesh while the TPU plugin stays the
+default backend. Mesh-aware callers (``core.mesh.create_mesh``) record the
+platform/device count here; mesh-less single-chip paths fall back to the
+default backend.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_DISPATCH: tuple[str, int] | None = None
+_MESH = None
+
+
+def configure_for_mesh(mesh) -> None:
+    """Record the platform/device-count the next traces will execute on."""
+    global _DISPATCH, _MESH
+    dev = mesh.devices.flat[0]
+    _DISPATCH = (dev.platform, mesh.devices.size)
+    _MESH = mesh
+
+
+def target() -> tuple[str, int]:
+    """(platform, device_count) the next traced computation runs on."""
+    if _DISPATCH is not None:
+        return _DISPATCH
+    return jax.default_backend(), jax.device_count()
+
+
+def target_mesh():
+    """The mesh the next traces execute on, or None for mesh-less paths."""
+    return _MESH

@@ -60,6 +60,44 @@ def test_fused_gradients_match_unfused(params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+def test_fused_block_sharded_matches_plain(params):
+    """shard_map-wrapped fused block over an 8-device DP mesh (interpret
+    mode) must match the single-program kernel and the unfused math."""
+    import jax
+    from dino_pose_tpu.core.mesh import create_mesh
+    from dino_pose_tpu.ops.block import fused_block_sharded
+
+    mesh = create_mesh()  # all 8 virtual CPU devices on the data axis
+    assert mesh.devices.size == 8
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, S, D)).astype(np.float32)
+    )
+    want = block_math(x, params, num_heads=H, eps=EPS)
+    got = jax.jit(
+        lambda x_, p_: fused_block_sharded(x_, p_, H, EPS, mesh)
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_dispatch_block_routes_by_mesh(params):
+    """dispatch_block picks shard_map on multi-device targets, the plain
+    kernel otherwise; fused_blocks_enabled admits pure-DP meshes only."""
+    from dino_pose_tpu.core.mesh import MeshSpec, create_mesh
+    from dino_pose_tpu.ops import dispatch
+    from dino_pose_tpu.ops.block import fused_blocks_enabled
+
+    old = (dispatch._DISPATCH, dispatch._MESH)
+    try:
+        dp_mesh = create_mesh()  # 8x1
+        dispatch._DISPATCH = ("tpu", 8)  # pretend the mesh is TPU
+        assert fused_blocks_enabled(384, 257)  # DP mesh: fused allowed
+        create_mesh(MeshSpec(dp=4, tp=2))
+        dispatch._DISPATCH = ("tpu", 8)
+        assert not fused_blocks_enabled(384, 257)  # TP axis: unfused
+    finally:
+        dispatch._DISPATCH, dispatch._MESH = old
+
+
 def test_block_module_routes_and_trees_match():
     """Module init trees are identical across fused/unfused routes, and the
     frozen (fused-eligible) route equals the legacy module path numerically."""

@@ -97,3 +97,35 @@ def get_default_configs():
     assert cm["model_name"] == "dinov2" and cm["lora_rank"] == 4
     assert cp["is_crop"] is True
     assert cd["train_images_dir"] == "/data/train/images"
+
+
+def test_lr_schedule_overrides():
+    """Optional config_training lr_factor/lr_patience/min_lr knobs; defaults
+    match the reference's hard-coded ReduceLROnPlateau (train.py:289-295)."""
+    from dino_pose_tpu.train.schedule import PlateauState, plateau_step
+
+    # min_lr == lr pins the rate no matter how many bad epochs accrue.
+    s = PlateauState(lr=1e-3, min_lr=1e-3)
+    for _ in range(10):
+        s = plateau_step(s, 5.0)
+    assert s.lr == 1e-3
+
+    # Reference defaults: decay by 0.7 after patience 3 is exceeded.
+    s = PlateauState(lr=1e-3)
+    for _ in range(5):
+        s = plateau_step(s, 5.0)
+    assert s.lr < 1e-3
+
+
+def test_hourglass_rejects_odd_grid():
+    """Odd patch grids (e.g. 23x23 at 322 input) fail loudly with the
+    documented even-grid constraint instead of a broadcast shape error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from dino_pose_tpu.models.heads import HourglassModule
+
+    m = HourglassModule(out_channels=32)
+    with pytest.raises(ValueError, match="even spatial grid"):
+        m.init(jax.random.key(0), jnp.zeros((1, 23, 23, 16)), train=False)
