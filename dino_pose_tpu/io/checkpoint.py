@@ -79,6 +79,57 @@ def _host(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves for the training loop.
+
+    Design (why not orbax's AsyncCheckpointer): the on-disk formats here ARE
+    the compatibility contract — flax msgpack + the reference's ``.pth``
+    state-dict schema — and orbax writes its own directory layout, which the
+    PyTorch/CoreML toolchain could not consume. Instead the split is:
+
+    - device→host copies are *scheduled* on the caller's thread
+      (``jax.Array.copy_to_host_async``) BEFORE the trainer's next donated
+      step can reuse the buffers — the runtime orders the pending copy ahead
+      of the donation;
+    - serialization and disk IO (the actually-slow part for ≥300M-param
+      backbones) run on one worker thread, preserving save order.
+
+    ``wait()`` drains pending writes and re-raises the first failure; the
+    trainer calls it before finishing (and before anything re-reads
+    ``latest_checkpoint``).
+    """
+
+    def __init__(self):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending: list = []
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        self._pending.append(self._pool.submit(fn, *args, **kwargs))
+
+    def wait(self) -> None:
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+
+def _schedule_host_copies(tree) -> None:
+    """Start async D2H transfers for every jax.Array in the tree."""
+
+    def start(x):
+        if isinstance(x, jax.Array):
+            try:
+                x.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — committed-elsewhere etc.
+                pass
+        return x
+
+    jax.tree.map(start, tree)
+
+
 # ---------------------------------------------------------------------------
 # Save
 # ---------------------------------------------------------------------------
@@ -95,8 +146,13 @@ def save_checkpoint(
     config_preproc: dict | None = None,
     scheduler: PlateauState | None = None,
     loss_weight: float | None = None,
+    async_writer: AsyncCheckpointWriter | None = None,
 ) -> None:
     """Save in the format selected by the file suffix (.pth or .msgpack).
+
+    With ``async_writer``, device→host copies start immediately but
+    serialization + disk IO run on the writer's thread; call
+    ``async_writer.wait()`` before relying on the file.
 
     ``state`` is an optional :class:`~dino_pose_tpu.train.state.TrainState`;
     when given, its parameters/batch-stats are saved (they are the live
@@ -119,16 +175,21 @@ def save_checkpoint(
     else:
         variables = model.variables
 
-    if save_path.endswith(".pth"):
-        _save_pth(
-            save_path, model, variables, state, epoch, train_loss, valid_loss,
-            config_training or {}, config_preproc or {}, scheduler, loss_weight,
-        )
+    save_fn = _save_pth if save_path.endswith(".pth") else _save_native
+    args = (
+        save_path, model, variables, state, epoch, train_loss, valid_loss,
+        config_training or {}, config_preproc or {}, scheduler, loss_weight,
+    )
+    if async_writer is not None:
+        # Transfers are ordered ahead of any later buffer donation; the
+        # worker thread's np.asarray calls then complete without stalling
+        # the training loop.
+        _schedule_host_copies(variables)
+        if state is not None:
+            _schedule_host_copies((state.opt_state, state.loss_weight))
+        async_writer.submit(save_fn, *args)
     else:
-        _save_native(
-            save_path, model, variables, state, epoch, train_loss, valid_loss,
-            config_training or {}, config_preproc or {}, scheduler, loss_weight,
-        )
+        save_fn(*args)
     print(f"Saved checkpoint to {save_path}")
 
 

@@ -189,6 +189,14 @@ def fit(
     )
     # Plateau defaults match the reference exactly (train.py:289-295);
     # the keys are optional overrides the reference does not expose.
+    # Async checkpointing (config_training['async_checkpoint']=True): saves
+    # stop stalling the epoch loop — D2H copies are ordered ahead of the
+    # next donated step, serialization/IO run on a writer thread. Off by
+    # default to match the reference's synchronous semantics.
+    ckpt_writer = (
+        ck.AsyncCheckpointWriter()
+        if config_training.get("async_checkpoint") else None
+    )
     scheduler = PlateauState(
         lr=float(config_training["learning_rate"]),
         factor=float(config_training.get("lr_factor", 0.7)),
@@ -351,7 +359,8 @@ def fit(
             if p2d > best_pckh_2d or p3d > best_pckh_3d:
                 base = os.path.join(checkpoint_dir, f"best_model_{epoch + 1}")
                 _save(base, current_model(), state, epoch, train_loss, val_loss,
-                      config_training, config_preproc, scheduler, export_pth)
+                      config_training, config_preproc, scheduler, export_pth,
+                      ckpt_writer)
             best_pckh_2d = max(best_pckh_2d, p2d)
             best_pckh_3d = max(best_pckh_3d, p3d)
         if is_primary():
@@ -360,7 +369,9 @@ def fit(
     # ---- final save + loss plot (reference train.py:374-399) ----
     base = os.path.join(checkpoint_dir, "final_model")
     _save(base, current_model(), state, total_epochs, train_loss, val_loss,
-          config_training, config_preproc, scheduler, export_pth)
+          config_training, config_preproc, scheduler, export_pth, ckpt_writer)
+    if ckpt_writer is not None:
+        ckpt_writer.wait()  # files must exist before fit returns
     _plot_losses(history, checkpoint_dir)
     print("Training complete!")
     history["state"] = state
@@ -371,13 +382,14 @@ def fit(
 
 
 def _save(base, model, state, epoch, train_loss, val_loss,
-          config_training, config_preproc, scheduler, export_pth):
+          config_training, config_preproc, scheduler, export_pth,
+          async_writer=None):
     if not is_primary():  # one writer per multi-host job
         return
     kw = dict(
         state=state, epoch=epoch, train_loss=train_loss, valid_loss=val_loss,
         config_training=config_training, config_preproc=config_preproc,
-        scheduler=scheduler,
+        scheduler=scheduler, async_writer=async_writer,
     )
     ck.save_checkpoint(base + ".msgpack", model, **kw)
     if export_pth:

@@ -112,3 +112,47 @@ def test_latest_checkpoint(tmp_path, model):
     for i in range(2):
         ck.save_checkpoint(tmp_path / f"c{i}.msgpack", model, epoch=i)
     assert ck.latest_checkpoint(tmp_path).endswith("c1.msgpack")
+
+
+def test_async_checkpoint_writer(tmp_path, model):
+    """Async saves survive a subsequent DONATED train step overwriting the
+    state buffers: the D2H copies are ordered ahead of the donation, so the
+    written file carries the pre-step values."""
+    import jax
+
+    from dino_pose_tpu.train.step import jit_train_step
+
+    state, tx, part = create_train_state(model.variables, CONFIG, model.family)
+    step = jit_train_step(model.module, tx, part)
+    rng = np.random.default_rng(0)
+    kps = rng.uniform(20, 200, (2, 24, 3)).astype(np.float32)
+    kps[..., 2] = 2.0
+    batch = {
+        "image": rng.standard_normal((2, 3, 224, 224)).astype(np.float32),
+        "2d_heatmaps": rng.random((2, 24, 48, 48)).astype(np.float32),
+        "2d_keypoints": kps,
+        "z_coords": rng.standard_normal((2, 24)).astype(np.float32),
+    }
+    snapshot = np.asarray(
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+    ).copy()
+
+    writer = ck.AsyncCheckpointWriter()
+    ck.save_checkpoint(
+        tmp_path / "async.msgpack", model, state=state, epoch=1,
+        async_writer=writer,
+    )
+    # Donate the state before the writer has (necessarily) finished.
+    state, _ = step(state, batch, jnp.float32(1e-3), jax.random.key(0))
+    jax.block_until_ready(state)
+    writer.wait()
+
+    ckpt = ck.load_checkpoint(tmp_path / "async.msgpack")
+    assert ckpt["epoch"] == 1
+    saved_leaf = jax.tree_util.tree_leaves(ckpt["variables"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(saved_leaf), snapshot)
+
+    # Failures surface on wait(), not silently.
+    writer.submit(lambda: (_ for _ in ()).throw(RuntimeError("disk full")))
+    with pytest.raises(RuntimeError, match="disk full"):
+        writer.wait()
