@@ -37,6 +37,7 @@ from dino_pose_tpu.ops.block import (
     BlockParams,
     block_math,
     dispatch_block,
+    dispatch_block_train,
     fused_blocks_enabled,
 )
 
@@ -239,11 +240,18 @@ class Block(nn.Module):
             (d,),
         )
         p = BlockParams(g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2)
-        # Fused kernel when no gradient will flow through this block's
-        # params (frozen layer, or any inference pass): its VJP falls back
-        # to the unfused math, which production never triggers.
-        if (self.frozen or deterministic) and fused_blocks_enabled(d, x.shape[1]):
-            return dispatch_block(x, p, cfg.num_heads, cfg.layer_norm_eps)
+        if fused_blocks_enabled(d, x.shape[1]):
+            if self.frozen or deterministic:
+                # Forward-only fused kernel: no gradient flows through a
+                # frozen/inference block's params; the fallback VJP (unfused
+                # math) exists for correctness only.
+                return dispatch_block(x, p, cfg.num_heads, cfg.layer_norm_eps)
+            if cfg.hidden_dropout == 0.0:
+                # Trainable block without in-block dropout (the reference's
+                # unfreeze-last-N mode): fully fused Pallas forward+backward.
+                return dispatch_block_train(
+                    x, p, cfg.num_heads, cfg.layer_norm_eps
+                )
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:

@@ -157,7 +157,7 @@ def block_math(
 
 def _block_kernel(
     x_ref, g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2,
-    y_ref, *, num_heads: int, eps: float, valid_len: int,
+    y_ref, *maybe_x2_ref, num_heads: int, eps: float, valid_len: int,
 ):
     x = x_ref[...]                       # (G, Sp, D)
     d = x.shape[-1]
@@ -211,6 +211,8 @@ def _block_kernel(
         + bo[0].astype(x.dtype)
     )
     x2 = x + o * ls1[0].astype(x.dtype)
+    if maybe_x2_ref:  # training path saves the attention residual
+        maybe_x2_ref[0][...] = x2
 
     m = _layernorm(x2, g2[0], b2[0], eps)
     h1 = (
@@ -231,6 +233,188 @@ def _block_kernel(
         + bf2[0].astype(x.dtype)
     )
     y_ref[...] = x2 + h2 * ls2[0].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused TRAINING path: forward that also emits the attention residual x2,
+# plus a two-kernel Pallas backward (MLP part, then attention part) with
+# weight gradients accumulated in VMEM across the sequential batch grid.
+# Covers full-block training (the reference's unfreeze-last-N mode, which
+# has no dropout inside the block); LoRA layers keep the module path.
+# ---------------------------------------------------------------------------
+
+_SQRT_2PI_INV = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+def _gelu_grad(z: Array) -> Array:
+    """d/dz of exact GELU at pre-activation z (float32 in/out)."""
+    phi = jnp.exp(-0.5 * z * z) * _SQRT_2PI_INV
+    cdf = 0.5 * (1.0 + _erf(z * (2.0**-0.5)))
+    return cdf + z * phi
+
+
+def _ln_fwd_stats(x, scale, bias, eps):
+    """LayerNorm forward returning (out[x.dtype], xhat[f32], r[f32])."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * r
+    return (xhat * scale + bias).astype(x.dtype), xhat, r
+
+
+def _ln_bwd_dx(dout_f32, xhat, r, scale):
+    """Input-gradient of LayerNorm (f32)."""
+    dh = dout_f32 * scale
+    mean1 = jnp.mean(dh, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dh * xhat, axis=-1, keepdims=True)
+    return r * (dh - mean1 - xhat * mean2)
+
+
+def _mm(a, b, contract_a, contract_b, batch=None):
+    lhs_b, rhs_b = batch or ((), ())
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=((contract_a, contract_b), (lhs_b, rhs_b)),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mlp_bwd_kernel(
+    x2_ref, dy_ref, g2, b2, w1, bf1, w2, bf2, ls2,
+    dx2_ref, dw1_ref, dbf1_ref, dw2_ref, dbf2_ref, dls2_ref, dg2_ref, db2_ref,
+    *, eps: float,
+):
+    """Backward of  y = x2 + (gelu(LN2(x2) W1 + bf1) W2 + bf2) * ls2.
+
+    One batch row per program, all tensors 2-D — Mosaic's matmul does not
+    lower dot_generals that contract a batch dim together with a row dim.
+    """
+    i = pl.program_id(0)
+    x2 = x2_ref[0]                                    # (Sp, D) bf16
+    dy = dy_ref[0].astype(jnp.float32)
+    dt = x2.dtype
+
+    m, xhat2, r2 = _ln_fwd_stats(x2, g2[0], b2[0], eps)
+    h1 = (_mm(m, w1[...], (1,), (0,)).astype(dt) + bf1[0].astype(dt))
+    g = _gelu_exact(h1)
+    h2 = (_mm(g, w2[...], (1,), (0,)).astype(dt) + bf2[0].astype(dt))
+
+    dls2_p = jnp.sum(dy * h2.astype(jnp.float32), axis=0)[None, :]
+    dh2 = dy * ls2[0]                                  # f32
+    dh2b = dh2.astype(dt)
+    dw2_p = _mm(g, dh2b, (0,), (0,))                   # (4D, D) f32
+    dbf2_p = jnp.sum(dh2, axis=0)[None, :]
+    dg = _mm(dh2b, w2[...], (1,), (1,)).astype(jnp.float32)
+    dh1 = dg * _gelu_grad(h1.astype(jnp.float32))
+    dh1b = dh1.astype(dt)
+    dw1_p = _mm(m, dh1b, (0,), (0,))                   # (D, 4D) f32
+    dbf1_p = jnp.sum(dh1, axis=0)[None, :]
+    dm = _mm(dh1b, w1[...], (1,), (1,)).astype(jnp.float32)
+    dg2_p = jnp.sum(dm * xhat2, axis=0)[None, :]
+    db2_p = jnp.sum(dm, axis=0)[None, :]
+    dx2_ref[0] = (dy + _ln_bwd_dx(dm, xhat2, r2, g2[0])).astype(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dw1_ref, dbf1_ref, dw2_ref, dbf2_ref,
+                    dls2_ref, dg2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    dw1_ref[...] += dw1_p
+    dbf1_ref[...] += dbf1_p
+    dw2_ref[...] += dw2_p
+    dbf2_ref[...] += dbf2_p
+    dls2_ref[...] += dls2_p
+    dg2_ref[...] += dg2_p
+    db2_ref[...] += db2_p
+
+
+def _attn_bwd_kernel(
+    x_ref, dx2_ref, g1, b1, wqkv, bqkv, wo, bo, ls1,
+    dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dls1_ref, dg1_ref, db1_ref,
+    *, num_heads: int, eps: float, valid_len: int,
+):
+    """Backward of  x2 = x + (attn(LN1(x)) Wo + bo) * ls1."""
+    i = pl.program_id(0)
+    x = x_ref[0]                                       # (Sp, D) bf16
+    dx2 = dx2_ref[0].astype(jnp.float32)
+    dt = x.dtype
+    d = x.shape[-1]
+    dh = d // num_heads
+    scale = dh**-0.5
+    sp = x.shape[0]
+
+    a, xhat1, r1 = _ln_fwd_stats(x, g1[0], b1[0], eps)
+    qkv = (_mm(a, wqkv[...], (1,), (0,)).astype(dt) + bqkv[0].astype(dt))
+
+    # Recompute per-head probs (masked exactly like the forward).
+    probs = []
+    for h in range(num_heads):
+        q = qkv[:, h * dh : (h + 1) * dh]
+        k = qkv[:, d + h * dh : d + (h + 1) * dh]
+        s = _mm(q, k, (1,), (1,)) * scale              # (Sp, Sp) f32
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs.append(e / jnp.sum(e, axis=-1, keepdims=True))  # f32
+
+    ctx = jnp.concatenate(
+        [
+            _mm(probs[h].astype(dt),
+                qkv[:, 2 * d + h * dh : 2 * d + (h + 1) * dh],
+                (1,), (0,)).astype(dt)
+            for h in range(num_heads)
+        ],
+        axis=-1,
+    )
+    o = (_mm(ctx, wo[...], (1,), (0,)).astype(dt) + bo[0].astype(dt))
+
+    dls1_p = jnp.sum(dx2 * o.astype(jnp.float32), axis=0)[None, :]
+    do = dx2 * ls1[0]
+    dob = do.astype(dt)
+    dwo_p = _mm(ctx, dob, (0,), (0,))                  # (D, D) f32
+    dbo_p = jnp.sum(do, axis=0)[None, :]
+    dctx = _mm(dob, wo[...], (1,), (1,)).astype(dt)    # (Sp, D)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(num_heads):
+        p_h = probs[h]                                 # (Sp, Sp) f32
+        pb = p_h.astype(dt)
+        q = qkv[:, h * dh : (h + 1) * dh]
+        k = qkv[:, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        dctx_h = dctx[:, h * dh : (h + 1) * dh]
+        dp = _mm(dctx_h, v, (1,), (1,))                # (Sp, Sp) f32
+        ds = p_h * (dp - jnp.sum(p_h * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(dt)
+        dq_parts.append((_mm(dsb, k, (1,), (0,)) * scale).astype(dt))
+        dk_parts.append((_mm(dsb, q, (0,), (0,)) * scale).astype(dt))
+        dv_parts.append(_mm(pb, dctx_h, (0,), (0,)).astype(dt))
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+
+    dwqkv_p = _mm(a, dqkv, (0,), (0,))                 # (D, 3D) f32
+    dbqkv_p = jnp.sum(dqkv.astype(jnp.float32), axis=0)[None, :]
+    da = _mm(dqkv, wqkv[...], (1,), (1,)).astype(jnp.float32)
+    dg1_p = jnp.sum(da * xhat1, axis=0)[None, :]
+    db1_p = jnp.sum(da, axis=0)[None, :]
+    dx_ref[0] = (dx2 + _ln_bwd_dx(da, xhat1, r1, g1[0])).astype(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                    dls1_ref, dg1_ref, db1_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    dwqkv_ref[...] += dwqkv_p
+    dbqkv_ref[...] += dbqkv_p
+    dwo_ref[...] += dwo_p
+    dbo_ref[...] += dbo_p
+    dls1_ref[...] += dls1_p
+    dg1_ref[...] += dg1_p
+    db1_ref[...] += db1_p
 
 
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -258,36 +442,38 @@ def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
     return 0
 
 
-def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+def _prep_block_args(x: Array, p: BlockParams, names: list[str]):
+    """Pad x, cast weights, reshape vectors 2-D; return (xp, args, sp)."""
     b, s, d = x.shape
     sp = -(-s // 8) * 8  # sublane padding only; Mosaic pads lanes internally
     xp = jnp.pad(x, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x
-
-    # Weights to the compute dtype once (same cast the unfused path does);
-    # norm/scale vectors stay float32 and are reshaped 2-D for VMEM.
     wdt = x.dtype
     vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
-    mats = dict(
-        wqkv=p.wqkv.astype(wdt), wo=p.wo.astype(wdt),
-        w1=p.w1.astype(wdt), w2=p.w2.astype(wdt),
-    )
-    vecs = dict(
-        g1=vec(p.g1), b1=vec(p.b1), bqkv=vec(p.bqkv), bo=vec(p.bo),
-        ls1=vec(p.ls1), g2=vec(p.g2), b2=vec(p.b2), bf1=vec(p.bf1),
-        bf2=vec(p.bf2), ls2=vec(p.ls2),
-    )
+    mats = {"wqkv": p.wqkv, "wo": p.wo, "w1": p.w1, "w2": p.w2}
+    prepared = [
+        mats[k].astype(wdt) if k in mats else vec(getattr(p, k))
+        for k in names
+    ]
+    return xp, prepared, sp
+
+
+_CONST = lambda a: pl.BlockSpec(  # noqa: E731 — replicated (weight) operand
+    a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+)
+
+
+def _fused_forward(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    b, s, d = x.shape
+    order = ["g1", "b1", "wqkv", "bqkv", "wo", "bo", "ls1",
+             "g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    xp, args, sp = _prep_block_args(x, p, order)
 
     g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
     while b % g:
         g //= 2
 
-    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                   memory_space=pltpu.VMEM)
+    const = _CONST
     xspec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    order = ["g1", "b1", "wqkv", "bqkv", "wo", "bo", "ls1",
-             "g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
-    args = [mats[k] if k in mats else vecs[k] for k in order]
 
     flops_per_row = (
         2 * sp * d * 3 * d          # qkv
@@ -336,6 +522,151 @@ def _bwd(num_heads, eps, residuals, dy):
 
 
 fused_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Training-path host wrappers
+# ---------------------------------------------------------------------------
+
+def _fused_forward_train(x, p, num_heads, eps):
+    """Fused forward that ALSO returns the attention residual x2 (padded
+    shape), saved for the two-kernel Pallas backward."""
+    b, s, d = x.shape
+    order = ["g1", "b1", "wqkv", "bqkv", "wo", "bo", "ls1",
+             "g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    xp, args, sp = _prep_block_args(x, p, order)
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, sp, d), x.dtype)
+    y, x2 = pl.pallas_call(
+        functools.partial(
+            _block_kernel, num_heads=num_heads, eps=eps, valid_len=s
+        ),
+        grid=(b,),
+        in_specs=[xspec] + [_CONST(a) for a in args],
+        out_specs=[xspec, xspec],
+        out_shape=[shape, shape],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(xp, *args)
+    return (y[:, :s, :] if sp != s else y), x2
+
+
+def _grad_shapes(p: BlockParams, d: int):
+    f32 = jnp.float32
+    return {
+        "wqkv": jax.ShapeDtypeStruct((d, 3 * d), f32),
+        "bqkv": jax.ShapeDtypeStruct((1, 3 * d), f32),
+        "wo": jax.ShapeDtypeStruct((d, d), f32),
+        "bo": jax.ShapeDtypeStruct((1, d), f32),
+        "ls1": jax.ShapeDtypeStruct((1, d), f32),
+        "g1": jax.ShapeDtypeStruct((1, d), f32),
+        "b1": jax.ShapeDtypeStruct((1, d), f32),
+        "w1": jax.ShapeDtypeStruct((d, 4 * d), f32),
+        "bf1": jax.ShapeDtypeStruct((1, 4 * d), f32),
+        "w2": jax.ShapeDtypeStruct((4 * d, d), f32),
+        "bf2": jax.ShapeDtypeStruct((1, d), f32),
+        "ls2": jax.ShapeDtypeStruct((1, d), f32),
+        "g2": jax.ShapeDtypeStruct((1, d), f32),
+        "b2": jax.ShapeDtypeStruct((1, d), f32),
+    }
+
+
+def _mlp_bwd(x2p, dyp, p, eps, valid_len):
+    """x2p/dyp: (B, Sp, D) padded. Returns dx2 (padded) + MLP param grads."""
+    b, sp, d = x2p.shape
+    names = ["g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    _, args, _ = _prep_block_args(x2p, p, names)
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    gs = _grad_shapes(p, d)
+    out_names = ["w1", "bf1", "w2", "bf2", "ls2", "g2", "b2"]
+    dx2, *grads = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[xspec, xspec] + [_CONST(a) for a in args],
+        out_specs=[xspec] + [_CONST(gs[n]) for n in out_names],
+        out_shape=[jax.ShapeDtypeStruct((b, sp, d), x2p.dtype)]
+        + [gs[n] for n in out_names],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x2p, dyp, *args)
+    return dx2, dict(zip(out_names, grads))
+
+
+def _attn_bwd(xp, dx2p, p, num_heads, eps, valid_len):
+    """xp/dx2p: (B, Sp, D) padded. Returns dx (padded) + attention grads."""
+    b, sp, d = xp.shape
+    names = ["g1", "b1", "wqkv", "bqkv", "wo", "bo", "ls1"]
+    _, args, _ = _prep_block_args(xp, p, names)
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    gs = _grad_shapes(p, d)
+    out_names = ["wqkv", "bqkv", "wo", "bo", "ls1", "g1", "b1"]
+    dx, *grads = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, num_heads=num_heads, eps=eps, valid_len=valid_len
+        ),
+        grid=(b,),
+        in_specs=[xspec, xspec] + [_CONST(a) for a in args],
+        out_specs=[xspec] + [_CONST(gs[n]) for n in out_names],
+        out_shape=[jax.ShapeDtypeStruct((b, sp, d), xp.dtype)]
+        + [gs[n] for n in out_names],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(xp, dx2p, *args)
+    return dx, dict(zip(out_names, grads))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_block_train(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    """Fully-fused transformer block: Pallas forward AND Pallas backward.
+
+    For blocks with trainable parameters and no dropout (the reference's
+    unfreeze-last-N mode). Numerically matches :func:`block_math` and its
+    jax.vjp within bf16/f32 tolerance (tests/test_block_kernel.py).
+    """
+    y, _ = _fused_forward_train(x, p, num_heads, eps)
+    return y
+
+
+def _train_fwd(x, p, num_heads, eps):
+    y, x2p = _fused_forward_train(x, p, num_heads, eps)
+    return y, (x, x2p, p)
+
+
+def _train_bwd(num_heads, eps, residuals, dy):
+    x, x2p, p = residuals
+    b, s, d = x.shape
+    sp = x2p.shape[1]
+    dyp = jnp.pad(dy, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else dy
+    dx2p, mg = _mlp_bwd(x2p, dyp, p, eps, s)
+    xp = jnp.pad(x, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x
+    dxp, ag = _attn_bwd(xp, dx2p, p, num_heads, eps, s)
+    dx = dxp[:, :s, :] if sp != s else dxp
+
+    def like(name, grad):
+        ref = getattr(p, name)
+        return grad.reshape(ref.shape).astype(ref.dtype)
+
+    dp = BlockParams(
+        g1=like("g1", ag["g1"]), b1=like("b1", ag["b1"]),
+        wqkv=like("wqkv", ag["wqkv"]), bqkv=like("bqkv", ag["bqkv"]),
+        wo=like("wo", ag["wo"]), bo=like("bo", ag["bo"]),
+        ls1=like("ls1", ag["ls1"]),
+        g2=like("g2", mg["g2"]), b2=like("b2", mg["b2"]),
+        w1=like("w1", mg["w1"]), bf1=like("bf1", mg["bf1"]),
+        w2=like("w2", mg["w2"]), bf2=like("bf2", mg["bf2"]),
+        ls2=like("ls2", mg["ls2"]),
+    )
+    return dx, dp
+
+
+fused_block_train.defvjp(_train_fwd, _train_bwd)
+
+
+def dispatch_block_train(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
+    """Trainable-block dispatch: fully-fused on a single device, unfused
+    otherwise (under shard_map with check_rep=False, replicated-parameter
+    cotangents would need an explicit psum — not wired yet, see ROADMAP)."""
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return fused_block_train(x, p, num_heads, eps)
+    return block_math(x, p, num_heads=num_heads, eps=eps)
 
 
 def fused_block_sharded(

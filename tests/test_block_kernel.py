@@ -60,6 +60,39 @@ def test_fused_gradients_match_unfused(params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+def test_fused_block_train_forward_and_gradients(params):
+    """The fully-fused training path (Pallas fwd + two-kernel Pallas bwd)
+    must match block_math and its jax.vjp: input grad AND every parameter
+    grad, with the batch-grid accumulation across multiple programs."""
+    import jax
+    from dino_pose_tpu.ops.block import fused_block_train
+
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((3, S, D)).astype(np.float32)
+    )  # 3 batch rows -> 3 sequential grid programs accumulate weight grads
+
+    y_fused = fused_block_train(x, params, H, EPS)
+    y_ref = block_math(x, params, num_heads=H, eps=EPS)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_fused(x_, p_):
+        return jnp.sum(jnp.square(fused_block_train(x_, p_, H, EPS)))
+
+    def loss_ref(x_, p_):
+        return jnp.sum(jnp.square(block_math(x_, p_, num_heads=H, eps=EPS)))
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4, rtol=1e-3)
+    for name, a, b in zip(gp_f._fields, gp_f, gp_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"param grad mismatch: {name}",
+        )
+
+
 def test_fused_block_sharded_matches_plain(params):
     """shard_map-wrapped fused block over an 8-device DP mesh (interpret
     mode) must match the single-program kernel and the unfused math."""
