@@ -34,11 +34,17 @@ import numpy as np
 from dino_pose_tpu.nn import layers as L
 from dino_pose_tpu.ops.attention import attention
 from dino_pose_tpu.ops.block import (
+    AttnParams,
     BlockParams,
+    MlpParams,
+    attn_part_math,
     block_math,
+    dispatch_attn_part,
     dispatch_block,
     dispatch_block_train,
+    dispatch_mlp_part,
     fused_blocks_enabled,
+    mlp_part_math,
 )
 
 Array = jax.Array
@@ -167,6 +173,48 @@ class SelfAttention(nn.Module):
         return out
 
 
+class _LoraAttention(nn.Module):
+    """LoRA-layer attention half: LN1 + qkv + attention + out-projection run
+    via the fused Pallas kernel (or the unfused math), then the residual
+    LoRA adapter applies in XLA (it owns the dropout RNG). Parameter tree is
+    identical to :class:`SelfAttention` with ``use_lora=True`` — scopes
+    query/key/value/out/lora_output — so checkpoints are unaffected.
+    LN1's params are passed in because the reference tree keeps ``norm1`` a
+    sibling of ``attention``."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, norm1, *, deterministic: bool) -> Array:
+        cfg = self.config
+        d = cfg.hidden_size
+        kernels, biases = zip(
+            *(
+                _DenseParams(d, name=nm)(d)
+                for nm in ("query", "key", "value")
+            )
+        )
+        wo, bo = _DenseParams(d, name="out")(d)
+        ap = AttnParams(
+            g1=norm1[0], b1=norm1[1],
+            wqkv=jnp.concatenate(kernels, axis=1),
+            bqkv=jnp.concatenate(biases),
+            wo=wo, bo=bo,
+        )
+        if fused_blocks_enabled(d, x.shape[1]):
+            o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
+        else:
+            o = attn_part_math(
+                x, ap, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
+            )
+        return o + LoRAAdapter(
+            rank=cfg.lora_rank,
+            alpha=cfg.lora_alpha,
+            dropout=cfg.lora_dropout,
+            name="lora_output",
+        )(o, deterministic=deterministic)
+
+
 class _NormParams(nn.Module):
     """LayerNorm parameter holder (same tree as nn/layers.LayerNorm)."""
 
@@ -255,28 +303,37 @@ class Block(nn.Module):
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:
+        """LoRA block: fused attention half -> adapter (XLA, dropout RNG) ->
+        fused MLP half. Same math and parameter tree as the legacy
+        LN/SelfAttention/Dense composition; the attention half's backward is
+        never pulled (nothing below the adapter is trainable in LoRA
+        configs), and the MLP half has a true Pallas backward carrying the
+        adapter's cotangent through dx2."""
         cfg = self.config
-        h = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1")(x)
-        h = SelfAttention(cfg, use_lora=True, name="attention")(
-            h, deterministic=deterministic
+        d = cfg.hidden_size
+        g1, b1 = _NormParams(name="norm1")(d)
+        o = _LoraAttention(cfg, name="attention")(
+            x, (g1, b1), deterministic=deterministic
         )
         ls1 = self.param(
             "layerscale1",
             lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
-            (cfg.hidden_size,),
+            (d,),
         )
-        x = x + h * ls1.astype(h.dtype)
+        x2 = x + o * ls1.astype(o.dtype)
 
-        h = L.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2")(x)
-        h = L.Dense(cfg.hidden_size * cfg.mlp_ratio, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        h = L.Dense(cfg.hidden_size, name="fc2")(h)
+        g2, b2 = _NormParams(name="norm2")(d)
+        w1, bf1 = _DenseParams(d * cfg.mlp_ratio, name="fc1")(d)
+        w2, bf2 = _DenseParams(d, name="fc2")(d * cfg.mlp_ratio)
         ls2 = self.param(
             "layerscale2",
             lambda key, shape: jnp.full(shape, cfg.layerscale_init, jnp.float32),
-            (cfg.hidden_size,),
+            (d,),
         )
-        return x + h * ls2.astype(h.dtype)
+        mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
+        if fused_blocks_enabled(d, x.shape[1]):
+            return dispatch_mlp_part(x2, mp, cfg.layer_norm_eps)
+        return mlp_part_math(x2, mp, eps=cfg.layer_norm_eps)
 
 
 class Dinov2Backbone(nn.Module):

@@ -442,16 +442,22 @@ def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
     return 0
 
 
-def _prep_block_args(x: Array, p: BlockParams, names: list[str]):
-    """Pad x, cast weights, reshape vectors 2-D; return (xp, args, sp)."""
+_MAT_NAMES = frozenset({"wqkv", "wo", "w1", "w2"})
+
+
+def _prep_block_args(x: Array, p, names: list[str]):
+    """Pad x, cast weights, reshape vectors 2-D; return (xp, args, sp).
+
+    ``p`` is any object exposing the requested fields (full BlockParams or
+    a partial namespace for the split attention/MLP kernels).
+    """
     b, s, d = x.shape
     sp = -(-s // 8) * 8  # sublane padding only; Mosaic pads lanes internally
     xp = jnp.pad(x, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x
     wdt = x.dtype
     vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
-    mats = {"wqkv": p.wqkv, "wo": p.wo, "w1": p.w1, "w2": p.w2}
     prepared = [
-        mats[k].astype(wdt) if k in mats else vec(getattr(p, k))
+        getattr(p, k).astype(wdt) if k in _MAT_NAMES else vec(getattr(p, k))
         for k in names
     ]
     return xp, prepared, sp
@@ -667,6 +673,239 @@ def dispatch_block_train(x: Array, p: BlockParams, num_heads: int, eps: float) -
     if n_devices == 1:
         return fused_block_train(x, p, num_heads, eps)
     return block_math(x, p, num_heads=num_heads, eps=eps)
+
+
+# ---------------------------------------------------------------------------
+# Split kernels for the LoRA layer: the adapter (with its dropout RNG) sits
+# between the attention output and the LayerScale residual, so the block is
+# fused as two halves with the adapter in XLA between them. The attention
+# half is forward-only fused — in every production LoRA config nothing below
+# the adapter is trainable, so its backward is never pulled (fallback VJP
+# through the unfused math keeps full differentiation correct regardless).
+# The MLP half reuses the Pallas _mlp_bwd kernel: the adapter's cotangent
+# arrives through dx2.
+# ---------------------------------------------------------------------------
+
+class AttnParams(NamedTuple):
+    g1: Array
+    b1: Array
+    wqkv: Array
+    bqkv: Array
+    wo: Array
+    bo: Array
+
+
+class MlpParams(NamedTuple):
+    g2: Array
+    b2: Array
+    w1: Array
+    bf1: Array
+    w2: Array
+    bf2: Array
+    ls2: Array
+
+
+def attn_part_math(x: Array, ap: AttnParams, *, num_heads: int, eps: float) -> Array:
+    """Unfused LN1 -> qkv -> attention -> out-projection (pre-LayerScale)."""
+    from dino_pose_tpu.ops.attention import attention
+
+    b, s, d = x.shape
+    dh = d // num_heads
+    h = _layernorm(x, ap.g1, ap.b1, eps)
+    qkv = _dense(h, ap.wqkv, ap.bqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split(t):
+        return t.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+
+    ctx = attention(split(q), split(k), split(v), scale=dh**-0.5)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return _dense(ctx, ap.wo, ap.bo)
+
+
+def mlp_part_math(x2: Array, mp: MlpParams, *, eps: float) -> Array:
+    """Unfused LN2 -> MLP -> LayerScale -> residual."""
+    h = _layernorm(x2, mp.g2, mp.b2, eps)
+    h = _dense(h, mp.w1, mp.bf1)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense(h, mp.w2, mp.bf2)
+    return x2 + h * mp.ls2.astype(h.dtype)
+
+
+def _attn_part_kernel(
+    x_ref, g1, b1, wqkv, bqkv, wo, bo, o_ref,
+    *, num_heads: int, eps: float, valid_len: int,
+):
+    x = x_ref[...]                       # (G, Sp, D)
+    d = x.shape[-1]
+    dh = d // num_heads
+    scale = dh**-0.5
+    sp = x.shape[1]
+
+    a = _layernorm(x, g1[0], b1[0], eps)
+    qkv = (
+        jax.lax.dot_general(
+            a, wqkv[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bqkv[0].astype(x.dtype)
+    )
+    ctx_parts = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * dh : (h + 1) * dh]
+        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        ctx_parts.append(
+            jax.lax.dot_general(
+                probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx = jnp.concatenate(ctx_parts, axis=-1)
+    o_ref[...] = (
+        jax.lax.dot_general(
+            ctx, wo[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bo[0].astype(x.dtype)
+    )
+
+
+def _mlp_part_kernel(
+    x2_ref, g2, b2, w1, bf1, w2, bf2, ls2, y_ref, *, eps: float,
+):
+    x2 = x2_ref[...]                     # (G, Sp, D)
+    m = _layernorm(x2, g2[0], b2[0], eps)
+    h1 = (
+        jax.lax.dot_general(
+            m, w1[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x2.dtype)
+        + bf1[0].astype(x2.dtype)
+    )
+    h1 = _gelu_exact(h1)
+    h2 = (
+        jax.lax.dot_general(
+            h1, w2[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x2.dtype)
+        + bf2[0].astype(x2.dtype)
+    )
+    y_ref[...] = x2 + h2 * ls2[0].astype(x2.dtype)
+
+
+def _part_call(kernel, x, args, sp, g):
+    b, _, d = x.shape
+    xspec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[xspec] + [_CONST(a) for a in args],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        interpret=_dispatch_target()[0] != "tpu",
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attn_part(x: Array, ap: AttnParams, num_heads: int, eps: float) -> Array:
+    """Fused attention half (forward); backward falls back to unfused math
+    (never pulled when everything below the adapter is frozen)."""
+    b, s, d = x.shape
+    xp, args, sp = _prep_block_args(x, ap, list(AttnParams._fields))
+    g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
+    while b % g:
+        g //= 2
+    out = _part_call(
+        functools.partial(
+            _attn_part_kernel, num_heads=num_heads, eps=eps, valid_len=s
+        ),
+        xp, args, sp, g,
+    )(xp, *args)
+    return out[:, :s, :] if sp != s else out
+
+
+def _attn_part_fwd(x, ap, num_heads, eps):
+    return fused_attn_part(x, ap, num_heads, eps), (x, ap)
+
+
+def _attn_part_bwd(num_heads, eps, residuals, dy):
+    x, ap = residuals
+    _, vjp = jax.vjp(
+        lambda x_, ap_: attn_part_math(x_, ap_, num_heads=num_heads, eps=eps),
+        x, ap,
+    )
+    return vjp(dy)
+
+
+fused_attn_part.defvjp(_attn_part_fwd, _attn_part_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_mlp_part(x2: Array, mp: MlpParams, eps: float) -> Array:
+    """Fused MLP half with a true Pallas backward (reuses _mlp_bwd): the
+    input cotangent dx2 carries the adapter's gradient path."""
+    b, s, d = x2.shape
+    x2p, args, sp = _prep_block_args(x2, mp, list(MlpParams._fields))
+    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), 1)
+    while b % g:
+        g //= 2
+    out = _part_call(
+        functools.partial(_mlp_part_kernel, eps=eps), x2p, args, sp, g
+    )(x2p, *args)
+    return out[:, :s, :] if sp != s else out
+
+
+def _mlp_part_fwd(x2, mp, eps):
+    return fused_mlp_part(x2, mp, eps), (x2, mp)
+
+
+def _mlp_part_bwd(eps, residuals, dy):
+    x2, mp = residuals
+    b, s, d = x2.shape
+    sp = -(-s // 8) * 8
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    x2p = jnp.pad(x2, pad) if sp != s else x2
+    dyp = jnp.pad(dy, pad) if sp != s else dy
+    dx2p, g = _mlp_bwd(x2p, dyp, mp, eps, s)
+    dx2 = dx2p[:, :s, :] if sp != s else dx2p
+
+    def like(name):
+        ref = getattr(mp, name)
+        return g[name].reshape(ref.shape).astype(ref.dtype)
+
+    dmp = MlpParams(
+        g2=like("g2"), b2=like("b2"), w1=like("w1"), bf1=like("bf1"),
+        w2=like("w2"), bf2=like("bf2"), ls2=like("ls2"),
+    )
+    return dx2, dmp
+
+
+fused_mlp_part.defvjp(_mlp_part_fwd, _mlp_part_bwd)
+
+
+def dispatch_attn_part(x, ap: AttnParams, num_heads: int, eps: float) -> Array:
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return fused_attn_part(x, ap, num_heads, eps)
+    return attn_part_math(x, ap, num_heads=num_heads, eps=eps)
+
+
+def dispatch_mlp_part(x2, mp: MlpParams, eps: float) -> Array:
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return fused_mlp_part(x2, mp, eps)
+    return mlp_part_math(x2, mp, eps=eps)
 
 
 def fused_block_sharded(

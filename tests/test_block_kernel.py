@@ -131,6 +131,50 @@ def test_dispatch_block_routes_by_mesh(params):
         dispatch._DISPATCH, dispatch._MESH = old
 
 
+def test_lora_split_kernels_match_legacy_path():
+    """The LoRA block's split-fused route (fused attention half -> XLA
+    adapter -> fused MLP half) must match the legacy module composition in
+    value AND in adapter gradients (which flow through the MLP half's
+    Pallas backward via dx2)."""
+    import os
+
+    import jax
+    from dino_pose_tpu.models.vit import Block, ViTConfig
+
+    cfg = ViTConfig(
+        hidden_size=D, num_layers=2, num_heads=H,
+        lora_layers=(1,), lora_rank=4, lora_alpha=8, lora_dropout=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, S, D)).astype(np.float32)
+    )
+    blk = Block(cfg, use_lora=True)
+    v = blk.init(jax.random.key(0), x, deterministic=True)
+    # Make the adapter non-trivial (lora_B inits to zero).
+    v = jax.tree.map(
+        lambda a: a + 0.01 if a.ndim == 2 and a.shape[0] == 4 else a, v
+    )
+
+    def loss(variables, fused):
+        os.environ["DINO_POSE_TPU_BLOCK"] = "fused" if fused else "unfused"
+        try:
+            return jnp.sum(jnp.square(blk.apply(variables, x, deterministic=False)))
+        finally:
+            os.environ.pop("DINO_POSE_TPU_BLOCK", None)
+
+    y_f = loss(v, True)
+    y_u = loss(v, False)
+    np.testing.assert_allclose(float(y_f), float(y_u), rtol=1e-5)
+
+    g_f = jax.grad(loss)(v, True)["params"]["attention"]["lora_output"]
+    g_u = jax.grad(loss)(v, False)["params"]["attention"]["lora_output"]
+    for k in ("lora_A", "lora_B"):
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]), np.asarray(g_u[k]), atol=2e-4, rtol=1e-3,
+            err_msg=k,
+        )
+
+
 def test_block_module_routes_and_trees_match():
     """Module init trees are identical across fused/unfused routes, and the
     frozen (fused-eligible) route equals the legacy module path numerically."""
