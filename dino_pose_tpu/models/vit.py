@@ -332,7 +332,13 @@ class Block(nn.Module):
         )
         mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
         if fused_blocks_enabled(d, x.shape[1]):
-            return dispatch_mlp_part(x2, mp, cfg.layer_norm_eps)
+            # assume_frozen_weights: LoRA configs freeze the entire backbone
+            # (reference dinov2_pose.py:176-204; enforced by
+            # train/partition.trainable_mask), so the MLP half's backward
+            # skips its weight-gradient accumulation.
+            return dispatch_mlp_part(
+                x2, mp, cfg.layer_norm_eps, assume_frozen_weights=True
+            )
         return mlp_part_math(x2, mp, eps=cfg.layer_norm_eps)
 
 

@@ -804,6 +804,24 @@ def _mlp_part_kernel(
     y_ref[...] = x2 + h2 * ls2[0].astype(x2.dtype)
 
 
+def _mlp_dx_kernel(
+    x2_ref, dy_ref, g2, b2, w1, bf1, w2, bf2, ls2, dx2_ref, *, eps: float,
+):
+    """Activation-only backward of the MLP half: dx2 without the weight
+    gradients (frozen-weight LoRA layers discard them anyway). Subset of
+    :func:`_mlp_bwd_kernel`; no accumulators, so programs are independent."""
+    x2 = x2_ref[0]                                    # (Sp, D) bf16
+    dy = dy_ref[0].astype(jnp.float32)
+    dt = x2.dtype
+    m, xhat2, r2 = _ln_fwd_stats(x2, g2[0], b2[0], eps)
+    h1 = (_mm(m, w1[...], (1,), (0,)).astype(dt) + bf1[0].astype(dt))
+    dh2b = (dy * ls2[0]).astype(dt)
+    dg = _mm(dh2b, w2[...], (1,), (1,)).astype(jnp.float32)
+    dh1b = (dg * _gelu_grad(h1.astype(jnp.float32))).astype(dt)
+    dm = _mm(dh1b, w1[...], (1,), (1,)).astype(jnp.float32)
+    dx2_ref[0] = (dy + _ln_bwd_dx(dm, xhat2, r2, g2[0])).astype(dt)
+
+
 def _part_call(kernel, x, args, sp, g):
     b, _, d = x.shape
     xspec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -851,10 +869,18 @@ def _attn_part_bwd(num_heads, eps, residuals, dy):
 fused_attn_part.defvjp(_attn_part_fwd, _attn_part_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_mlp_part(x2: Array, mp: MlpParams, eps: float) -> Array:
-    """Fused MLP half with a true Pallas backward (reuses _mlp_bwd): the
-    input cotangent dx2 carries the adapter's gradient path."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_mlp_part(
+    x2: Array, mp: MlpParams, eps: float, assume_frozen_weights: bool = False
+) -> Array:
+    """Fused MLP half with a true Pallas backward: the input cotangent dx2
+    carries the adapter's gradient path.
+
+    ``assume_frozen_weights=True`` switches the backward to an
+    activation-only kernel that returns ZERO weight cotangents — only valid
+    when the caller guarantees the MLP parameters are never differentiated
+    (the LoRA configs' partition freezes the whole backbone, reference
+    dinov2_pose.py:176-204 semantics). dx2 is exact either way."""
     b, s, d = x2.shape
     x2p, args, sp = _prep_block_args(x2, mp, list(MlpParams._fields))
     g = max(_rows_per_program(sp, d, x2.dtype.itemsize), 1)
@@ -866,28 +892,44 @@ def fused_mlp_part(x2: Array, mp: MlpParams, eps: float) -> Array:
     return out[:, :s, :] if sp != s else out
 
 
-def _mlp_part_fwd(x2, mp, eps):
-    return fused_mlp_part(x2, mp, eps), (x2, mp)
+def _mlp_part_fwd(x2, mp, eps, assume_frozen_weights=False):
+    return fused_mlp_part(x2, mp, eps, assume_frozen_weights), (x2, mp)
 
 
-def _mlp_part_bwd(eps, residuals, dy):
+def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
     x2, mp = residuals
     b, s, d = x2.shape
     sp = -(-s // 8) * 8
     pad = [(0, 0), (0, sp - s), (0, 0)]
     x2p = jnp.pad(x2, pad) if sp != s else x2
     dyp = jnp.pad(dy, pad) if sp != s else dy
-    dx2p, g = _mlp_bwd(x2p, dyp, mp, eps, s)
+
+    if assume_frozen_weights:
+        _, args, _ = _prep_block_args(x2p, mp, list(MlpParams._fields))
+        xspec = pl.BlockSpec(
+            (1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        dx2p = pl.pallas_call(
+            functools.partial(_mlp_dx_kernel, eps=eps),
+            grid=(b,),
+            in_specs=[xspec, xspec] + [_CONST(a) for a in args],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct((b, sp, d), x2p.dtype),
+            interpret=_dispatch_target()[0] != "tpu",
+        )(x2p, dyp, *args)
+        dmp = jax.tree.map(jnp.zeros_like, mp)  # frozen by caller contract
+    else:
+        dx2p, g = _mlp_bwd(x2p, dyp, mp, eps, s)
+
+        def like(name):
+            ref = getattr(mp, name)
+            return g[name].reshape(ref.shape).astype(ref.dtype)
+
+        dmp = MlpParams(
+            g2=like("g2"), b2=like("b2"), w1=like("w1"), bf1=like("bf1"),
+            w2=like("w2"), bf2=like("bf2"), ls2=like("ls2"),
+        )
     dx2 = dx2p[:, :s, :] if sp != s else dx2p
-
-    def like(name):
-        ref = getattr(mp, name)
-        return g[name].reshape(ref.shape).astype(ref.dtype)
-
-    dmp = MlpParams(
-        g2=like("g2"), b2=like("b2"), w1=like("w1"), bf1=like("bf1"),
-        w2=like("w2"), bf2=like("bf2"), ls2=like("ls2"),
-    )
     return dx2, dmp
 
 
@@ -901,10 +943,12 @@ def dispatch_attn_part(x, ap: AttnParams, num_heads: int, eps: float) -> Array:
     return attn_part_math(x, ap, num_heads=num_heads, eps=eps)
 
 
-def dispatch_mlp_part(x2, mp: MlpParams, eps: float) -> Array:
+def dispatch_mlp_part(
+    x2, mp: MlpParams, eps: float, assume_frozen_weights: bool = False
+) -> Array:
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
-        return fused_mlp_part(x2, mp, eps)
+        return fused_mlp_part(x2, mp, eps, assume_frozen_weights)
     return mlp_part_math(x2, mp, eps=eps)
 
 

@@ -203,3 +203,24 @@ def test_block_module_routes_and_trees_match():
         os.environ.pop("DINO_POSE_TPU_BLOCK", None)
     want = trainable.apply(vt, x, deterministic=False)  # block_math route
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_part_frozen_backward_dx2_exact(params):
+    """The activation-only MLP backward must give the same dx2 as the full
+    kernel (weight cotangents are zeroed by the frozen-weights contract)."""
+    import jax
+    from dino_pose_tpu.ops.block import MlpParams, fused_mlp_part
+
+    mp = MlpParams(params.g2, params.b2, params.w1, params.bf1,
+                   params.w2, params.bf2, params.ls2)
+    x2 = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, S, D)).astype(np.float32)
+    )
+
+    def loss(x_, frozen):
+        return jnp.sum(jnp.square(fused_mlp_part(x_, mp, EPS, frozen)))
+
+    g_full = jax.grad(lambda x_: loss(x_, False))(x2)
+    g_frozen = jax.grad(lambda x_: loss(x_, True))(x2)
+    np.testing.assert_allclose(np.asarray(g_frozen), np.asarray(g_full),
+                               atol=1e-5, rtol=1e-5)
