@@ -45,6 +45,7 @@ from dino_pose_tpu.ops.block import (
     dispatch_mlp_part,
     fused_blocks_enabled,
     mlp_part_math,
+    parts_fused_enabled,
 )
 
 Array = jax.Array
@@ -201,7 +202,7 @@ class _LoraAttention(nn.Module):
             bqkv=jnp.concatenate(biases),
             wo=wo, bo=bo,
         )
-        if fused_blocks_enabled(d, x.shape[1]):
+        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
             o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
         else:
             o = attn_part_math(
@@ -288,7 +289,7 @@ class Block(nn.Module):
             (d,),
         )
         p = BlockParams(g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2)
-        if fused_blocks_enabled(d, x.shape[1]):
+        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
             if self.frozen or deterministic:
                 # Forward-only fused kernel: no gradient flows through a
                 # frozen/inference block's params; the fallback VJP (unfused
@@ -300,6 +301,17 @@ class Block(nn.Module):
                 return dispatch_block_train(
                     x, p, cfg.num_heads, cfg.layer_norm_eps
                 )
+        elif (self.frozen or deterministic) and parts_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize
+        ):
+            # Big backbones (dinov2-base): the monolithic kernel's weights
+            # exceed VMEM, but each half fits — fuse per half with the
+            # LayerScale+residual stitch in XLA.
+            ap = AttnParams(g1, b1, wqkv, bqkv, wo, bo)
+            o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
+            x2 = x + o * ls1.astype(o.dtype)
+            mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
+            return dispatch_mlp_part(x2, mp, cfg.layer_norm_eps)
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:
@@ -331,7 +343,7 @@ class Block(nn.Module):
             (d,),
         )
         mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
-        if fused_blocks_enabled(d, x.shape[1]):
+        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
             # assume_frozen_weights: LoRA configs freeze the entire backbone
             # (reference dinov2_pose.py:176-204; enforced by
             # train/partition.trainable_mask), so the MLP half's backward

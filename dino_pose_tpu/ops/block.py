@@ -952,6 +952,35 @@ def dispatch_mlp_part(
     return mlp_part_math(x2, mp, eps=eps)
 
 
+def parts_fused_enabled(
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2
+) -> bool:
+    """Dispatch for SPLIT-kernel fusion of big backbones (dinov2-base/
+    large): the monolithic block kernel needs all 12 D^2 weights in VMEM,
+    but each half fits on its own up to D ~= 768. The halves pay one extra
+    activation round-trip (the LayerScale+residual between them runs in
+    XLA), so the monolithic kernel stays preferred when it fits.
+    """
+    import os
+
+    override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
+    if override in ("unfused", "xla"):
+        return False
+    platform, n_devices = _dispatch_target()
+    if platform != "tpu" or n_devices != 1:
+        return False
+    d = hidden_size
+    sp = -(-seq_len // 8) * 8
+    i = itemsize  # f32 tracing (e.g. model init) doubles the working set
+    # FORWARD working sets only — this dispatch serves frozen/inference
+    # layers whose backward is never built. Attention half: qkv+out weights
+    # (8 D^2), one row's activation chain, per-head f32 score tile.
+    # MLP half: fc1+fc2 weights, one live (Sp, 4D) hidden tensor.
+    attn = 8 * d * d * i + 7 * sp * d * i + 2 * sp * sp * 4
+    mlp = 8 * d * d * i + 3 * sp * d * i + sp * 4 * d * i
+    return max(attn, mlp) <= 13 * 1024 * 1024
+
+
 def fused_block_sharded(
     x: Array, p: BlockParams, num_heads: int, eps: float, mesh
 ) -> Array:
@@ -993,7 +1022,9 @@ def dispatch_block(x: Array, p: BlockParams, num_heads: int, eps: float) -> Arra
     return fused_block(x, p, num_heads, eps)
 
 
-def fused_blocks_enabled(hidden_size: int, seq_len: int = 257) -> bool:
+def fused_blocks_enabled(
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2
+) -> bool:
     """Static dispatch: fused blocks on a TPU backend, small-enough shapes.
 
     The working set (weights + one batch row's activations and scores) must
@@ -1018,7 +1049,7 @@ def fused_blocks_enabled(hidden_size: int, seq_len: int = 257) -> bool:
     if platform != "tpu" or hidden_size > 512:
         return False
     sp = -(-seq_len // 8) * 8
-    if _rows_per_program(sp, hidden_size, 2) < 1:
+    if _rows_per_program(sp, hidden_size, itemsize) < 1:
         return False
     if n_devices == 1:
         return True
