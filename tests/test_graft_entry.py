@@ -1,13 +1,23 @@
-"""Driver contract: entry() traces; dryrun_multichip runs on the 8-dev mesh."""
+"""Driver contract: entry() traces; dryrun_multichip runs on the 8-dev mesh.
+
+The dry run must be hermetic: it always re-execs in a clean
+``JAX_PLATFORMS=cpu`` subprocess, so a broken/absent accelerator plugin
+in the calling environment cannot redden it (round-2 verdict item #1).
+"""
+
+import os
+import subprocess
+import sys
 
 import jax
-import jax.numpy as jnp
+import pytest
 
 import __graft_entry__ as ge
-import pytest
 
 # Compiles the flagship dinov2-small forward + the multichip dryrun.
 pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_entry_traces():
@@ -20,3 +30,22 @@ def test_entry_traces():
 
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_hermetic_with_poisoned_platform():
+    """dryrun_multichip must pass even when the caller's JAX platform is
+    unusable — here JAX_PLATFORMS points at a platform that does not
+    exist, which would crash any in-process jax backend init."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "no_such_platform"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "__graft_entry__.py", "4"],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip OK" in proc.stdout
