@@ -62,6 +62,36 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def broadcast_string(s: str | None, max_len: int = 4096) -> str | None:
+    """Broadcast a string (e.g. a resolved checkpoint path) from process 0.
+
+    Only the primary writes checkpoints, so on a non-shared filesystem each
+    process resolving ``latest_checkpoint`` independently can disagree —
+    the primary's resolution is authoritative.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = (s or "").encode()[:max_len]
+    buf = np.zeros(max_len, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    decoded = bytes(out).rstrip(b"\x00").decode()
+    return decoded or None
+
+
+def broadcast_pytree(tree):
+    """Replicate a pytree of arrays from process 0 to every process.
+
+    Used after checkpoint resume: replicated parameters/optimizer state must
+    be bit-identical across processes or training silently diverges (the
+    per-process values would disagree with no error raised).
+    """
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
 def make_global_batch(batch: dict, sharding) -> dict:
     """Assemble per-host numpy batches into one global sharded batch.
 

@@ -87,10 +87,10 @@ class AsyncCheckpointWriter:
     state-dict schema — and orbax writes its own directory layout, which the
     PyTorch/CoreML toolchain could not consume. Instead the split is:
 
-    - device→host copies are *scheduled* on the caller's thread
-      (``jax.Array.copy_to_host_async``) BEFORE the trainer's next donated
-      step can reuse the buffers — the runtime orders the pending copy ahead
-      of the donation;
+    - device→host copies are scheduled AND materialised to numpy on the
+      caller's thread before ``save_checkpoint`` returns — a donated train
+      step dispatched afterwards deletes the source jax.Arrays at the
+      Python level, so no device array may cross into the worker;
     - serialization and disk IO (the actually-slow part for ≥300M-param
       backbones) run on one worker thread, preserving save order.
 
@@ -167,26 +167,33 @@ def save_checkpoint(
     (/root/reference/train.py:361-371, model/model_utils.py:227-283).
     """
     save_path = os.fspath(save_path)
-    if state is not None:
-        variables = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-        }
+    save_fn = _save_pth if save_path.endswith(".pth") else _save_native
+
+    if async_writer is not None:
+        # Snapshot to host ON THE CALLER THREAD before returning: once the
+        # trainer's next donated step dispatches, the state's ArrayImpls are
+        # marked deleted and any later device_get on them raises "Array has
+        # been deleted" (copy_to_host_async starts the transfer but does NOT
+        # cache the value on the jax.Array). Scheduling all copies first
+        # makes the subsequent materialisation a cheap drain of in-flight
+        # transfers; only numpy trees reach the worker thread, which keeps
+        # just the serialization + disk IO off the training loop.
+        _schedule_host_copies(model.variables if state is None else state)
+        if state is not None:
+            state = _host(state)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+        else:
+            variables = _host(model.variables)
+    elif state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:
         variables = model.variables
 
-    save_fn = _save_pth if save_path.endswith(".pth") else _save_native
     args = (
         save_path, model, variables, state, epoch, train_loss, valid_loss,
         config_training or {}, config_preproc or {}, scheduler, loss_weight,
     )
     if async_writer is not None:
-        # Transfers are ordered ahead of any later buffer donation; the
-        # worker thread's np.asarray calls then complete without stalling
-        # the training loop.
-        _schedule_host_copies(variables)
-        if state is not None:
-            _schedule_host_copies((state.opt_state, state.loss_weight))
         async_writer.submit(save_fn, *args)
     else:
         save_fn(*args)

@@ -202,7 +202,14 @@ class _LoraAttention(nn.Module):
             bqkv=jnp.concatenate(biases),
             wo=wo, bo=bo,
         )
-        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
+        # Split-kernel gating: the monolithic-budget check admits small
+        # backbones; big frozen backbones (dinov2-base/large) still fit one
+        # HALF in VMEM, so fall back to the split-part budget before giving
+        # up on fusion (round-2 advisor: LoRA previously consulted only the
+        # monolithic budget and ran dinov2-base/large fully unfused).
+        if fused_blocks_enabled(
+            d, x.shape[1], x.dtype.itemsize
+        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize):
             o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
         else:
             o = attn_part_math(
@@ -343,11 +350,14 @@ class Block(nn.Module):
             (d,),
         )
         mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
-        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
+        if fused_blocks_enabled(
+            d, x.shape[1], x.dtype.itemsize
+        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize):
             # assume_frozen_weights: LoRA configs freeze the entire backbone
             # (reference dinov2_pose.py:176-204; enforced by
             # train/partition.trainable_mask), so the MLP half's backward
-            # skips its weight-gradient accumulation.
+            # skips its weight-gradient accumulation. The same split-part
+            # budget as the frozen elif branch admits dinov2-base/large.
             return dispatch_mlp_part(
                 x2, mp, cfg.layer_norm_eps, assume_frozen_weights=True
             )

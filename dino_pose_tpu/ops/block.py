@@ -665,13 +665,114 @@ def _train_bwd(num_heads, eps, residuals, dy):
 fused_block_train.defvjp(_train_fwd, _train_bwd)
 
 
+_warned: set[str] = set()
+
+
+def _warn_once(msg: str) -> None:
+    """Trace-time notice for silent-perf downgrades (once per reason)."""
+    if msg not in _warned:
+        _warned.add(msg)
+        print(f"dino_pose_tpu: {msg}")
+
+
+def _dp_shard_mesh(batch: int):
+    """The mesh to shard_map a fused kernel over, or None when the caller
+    must fall back to unfused math (reason logged once). Only pure-DP
+    meshes qualify: Megatron-sharded weights would need per-layer
+    all-gathers inside the kernel, which defeats the fusion."""
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return None
+    from dino_pose_tpu.ops.dispatch import target_mesh
+
+    mesh = target_mesh()
+    if mesh is None or mesh.devices.size != n_devices:
+        _warn_once(
+            "fused kernels downgraded to unfused math: multi-device trace "
+            "without a configured mesh (core.mesh.create_mesh)"
+        )
+        return None
+    if mesh.shape.get("model", 1) != 1:
+        _warn_once(
+            "fused kernels downgraded to unfused math: tensor-parallel "
+            "('model' axis) meshes shard the weights the kernel needs whole"
+        )
+        return None
+    dp = mesh.shape.get("data", 1)
+    if batch % dp:
+        _warn_once(
+            f"fused kernels downgraded to unfused math: batch {batch} does "
+            f"not divide over the {dp}-way data axis"
+        )
+        return None
+    return mesh
+
+
+def _shard_map_dp(local_fn, mesh, x, p):
+    """shard_map a (batch-row-parallel) kernel: batch over 'data', params
+    replicated. check_rep=False (custom_vjp inside)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=(P("data"), P()), out_specs=P("data"),
+        check_rep=False,
+    )(x, p)
+
+
+def fused_block_train_sharded(
+    x: Array, p: BlockParams, num_heads: int, eps: float, mesh
+) -> Array:
+    """Fully-fused trainable block under a pure-DP mesh.
+
+    Each shard's Pallas backward returns only its own batch rows'
+    contribution to the (replicated) parameter gradients; the cross-shard
+    sum is inserted by shard_map's transpose of the replicated ``P()``
+    input — in this JAX generation that reduction happens even under
+    ``check_rep=False`` (an explicit psum in the backward double-counts:
+    gradients come out exactly n_shards× too large). Verified by
+    tests/test_block_kernel.py::test_fused_block_train_sharded_grads.
+    """
+    return _shard_map_dp(
+        lambda x_, p_: fused_block_train(x_, p_, num_heads, eps), mesh, x, p
+    )
+
+
+def fused_attn_part_sharded(
+    x: Array, ap: AttnParams, num_heads: int, eps: float, mesh
+) -> Array:
+    """Fused attention half under a pure-DP mesh (LoRA layers). The
+    backward (rarely pulled — everything below the adapter is frozen in
+    production LoRA configs) runs the unfused VJP per shard; shard_map's
+    transpose sums the replicated parameter cotangents (see
+    :func:`fused_block_train_sharded`)."""
+    return _shard_map_dp(
+        lambda x_, ap_: fused_attn_part(x_, ap_, num_heads, eps), mesh, x, ap
+    )
+
+
+def fused_mlp_part_sharded(
+    x2: Array, mp: MlpParams, eps: float, assume_frozen_weights: bool, mesh
+) -> Array:
+    """Fused MLP half (true Pallas backward) under a pure-DP mesh: the
+    adapter's cotangent flows through dx2 per shard; parameter cotangents
+    (zeros under the frozen contract) are summed by shard_map's transpose
+    (see :func:`fused_block_train_sharded`)."""
+    return _shard_map_dp(
+        lambda x2_, mp_: fused_mlp_part(x2_, mp_, eps, assume_frozen_weights),
+        mesh, x2, mp,
+    )
+
+
 def dispatch_block_train(x: Array, p: BlockParams, num_heads: int, eps: float) -> Array:
-    """Trainable-block dispatch: fully-fused on a single device, unfused
-    otherwise (under shard_map with check_rep=False, replicated-parameter
-    cotangents would need an explicit psum — not wired yet, see ROADMAP)."""
+    """Trainable-block dispatch: fully-fused single-device, shard_map-fused
+    on pure-DP meshes, unfused math otherwise (downgrade logged)."""
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return fused_block_train(x, p, num_heads, eps)
+    mesh = _dp_shard_mesh(x.shape[0])
+    if mesh is not None:
+        return fused_block_train_sharded(x, p, num_heads, eps, mesh)
     return block_math(x, p, num_heads=num_heads, eps=eps)
 
 
@@ -940,6 +1041,9 @@ def dispatch_attn_part(x, ap: AttnParams, num_heads: int, eps: float) -> Array:
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return fused_attn_part(x, ap, num_heads, eps)
+    mesh = _dp_shard_mesh(x.shape[0])
+    if mesh is not None:
+        return fused_attn_part_sharded(x, ap, num_heads, eps, mesh)
     return attn_part_math(x, ap, num_heads=num_heads, eps=eps)
 
 
@@ -949,6 +1053,9 @@ def dispatch_mlp_part(
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return fused_mlp_part(x2, mp, eps, assume_frozen_weights)
+    mesh = _dp_shard_mesh(x2.shape[0])
+    if mesh is not None:
+        return fused_mlp_part_sharded(x2, mp, eps, assume_frozen_weights, mesh)
     return mlp_part_math(x2, mp, eps=eps)
 
 
@@ -967,7 +1074,9 @@ def parts_fused_enabled(
     if override in ("unfused", "xla"):
         return False
     platform, n_devices = _dispatch_target()
-    if platform != "tpu" or n_devices != 1:
+    if platform != "tpu":
+        return False
+    if n_devices > 1 and not _pure_dp_mesh(n_devices):
         return False
     d = hidden_size
     sp = -(-seq_len // 8) * 8
@@ -1034,9 +1143,11 @@ def fused_blocks_enabled(
     whose attention dispatch picks the flash kernel instead.
 
     ``DINO_POSE_TPU_BLOCK=fused|unfused`` overrides (benchmark hook).
-    Multi-device meshes use the unfused path for now: pallas_call under a
-    pjit-sharded batch is not auto-partitioned, so the fused kernel is
-    single-chip only until a shard_map integration lands (ROADMAP).
+    Multi-device: fused via shard_map on pure-DP meshes — frozen/inference
+    blocks through :func:`dispatch_block`, trainable/LoRA blocks through
+    :func:`dispatch_block_train` / the split-part dispatches with explicit
+    parameter-cotangent psums. Megatron ('model'-axis) meshes shard the
+    weights the kernel needs whole, so they stay on the unfused path.
     """
     import os
 
@@ -1051,10 +1162,11 @@ def fused_blocks_enabled(
     sp = -(-seq_len // 8) * 8
     if _rows_per_program(sp, hidden_size, itemsize) < 1:
         return False
-    if n_devices == 1:
-        return True
-    # Multi-device: fused via shard_map (dispatch_block) — pure-DP meshes
-    # only; Megatron ('model'-axis) sharded weights stay on the unfused path.
+    return n_devices == 1 or _pure_dp_mesh(n_devices)
+
+
+def _pure_dp_mesh(n_devices: int) -> bool:
+    """True when the trace target is a mesh whose non-'data' axes are trivial."""
     from dino_pose_tpu.ops.dispatch import target_mesh
 
     mesh = target_mesh()

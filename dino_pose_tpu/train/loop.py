@@ -34,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dino_pose_tpu.core.distributed import (
+    broadcast_pytree,
+    broadcast_string,
     is_primary,
     make_global_batch,
     maybe_initialize_distributed,
@@ -167,15 +169,30 @@ def fit(
     # disable with config_training['auto_resume']=False).
     print(f"Creating model {config_model['model_name']}...")
     load_path = config_model.get("load_model") or ""
+    auto_resumed = False
     if not load_path and config_training.get("auto_resume", True):
-        latest = ck.latest_checkpoint(checkpoint_dir)
+        # Only the primary writes checkpoints, so only its resolution of
+        # 'latest' is authoritative; on a non-shared filesystem the others
+        # would resolve nothing (or something stale) and silently diverge.
+        latest = ck.latest_checkpoint(checkpoint_dir) if is_primary() else None
+        if n_proc > 1:
+            latest = broadcast_string(latest)
         if latest:
             print(f"Auto-resuming from latest checkpoint: {latest}")
             load_path = latest
+            auto_resumed = True
     resume_ckpt = None
     if load_path and load_path.endswith((".pth", ".msgpack")):
-        model = ck.load_model_smart(load_path, eval_mode=False)
-        resume_ckpt = ck.load_checkpoint(load_path)
+        if auto_resumed and n_proc > 1 and not os.path.isfile(load_path):
+            # Non-shared filesystem: this host never saw the primary's
+            # checkpoint file. Init fresh; the post-restore broadcast below
+            # replaces the state with the primary's resumed values.
+            print("Checkpoint not on this host's filesystem; will receive "
+                  "resumed state from the primary process.")
+            model = registry.create_model_from_config(config_model)
+        else:
+            model = ck.load_model_smart(load_path, eval_mode=False)
+            resume_ckpt = ck.load_checkpoint(load_path)
     else:
         model = registry.create_model_from_config(config_model)
     print(f"Trainable parameters: {model.count_parameters():,}")
@@ -207,6 +224,24 @@ def fit(
     if resume_ckpt is not None and load_path.endswith(".msgpack"):
         state, scheduler, start_epoch = ck.restore_train_state(resume_ckpt, state, scheduler)
         print(f"Resumed optimizer/scheduler state from epoch {start_epoch}")
+    if n_proc > 1 and load_path:
+        # Make every process bit-identical to the primary's resumed state:
+        # replicated params/opt-state that disagree across processes corrupt
+        # training with no error raised. Fresh starts skip this (model init
+        # is seed-deterministic, hence already identical).
+        sync = np.asarray(
+            [float(start_epoch), scheduler.lr, scheduler.best,
+             float(scheduler.num_bad_epochs)], np.float64,
+        )
+        state, sync = broadcast_pytree((state, sync))
+        sync = np.asarray(sync)
+        start_epoch = int(sync[0])
+        import dataclasses
+
+        scheduler = dataclasses.replace(
+            scheduler, lr=float(sync[1]), best=float(sync[2]),
+            num_bad_epochs=int(sync[3]),
+        )
 
     device_targets = (model.input_size, model.heatmap_size)
     compute_dtype = policy_for_backend(

@@ -34,6 +34,16 @@ def main() -> None:
     from dino_pose_tpu.config import get_default_configs
     from dino_pose_tpu.train.loop import fit
 
+    if os.environ.get("MP_TEST_PRETEND_NO_CKPT"):
+        # Simulate a non-shared filesystem for the auto-resume broadcast
+        # test: this process must act as if the primary's checkpoint file
+        # does not exist locally (the real scenario on separate hosts —
+        # unreproducible on one machine where tmp dirs are shared).
+        real_isfile = os.path.isfile
+        os.path.isfile = lambda p: (
+            False if str(p).endswith(".msgpack") else real_isfile(p)
+        )
+
     config_dataset, config_training, config_preproc, config_model = get_default_configs()
     config_dataset.update(
         train_images_dir=os.path.join(dataset_dir, "images"),
@@ -60,10 +70,16 @@ def main() -> None:
         config_dataset, config_training, config_preproc, config_model,
         progress=False, export_pth=False,
     )
+    # Fingerprint of the final replicated parameters: across processes these
+    # must be (bit-)identical or replication has silently diverged.
+    param_sum = float(
+        sum(jax.device_get(x).astype("float64").sum()
+            for x in jax.tree_util.tree_leaves(history["state"].params))
+    )
     with open(out_json, "w") as f:
         json.dump(
             {"train_loss": history["train_loss"], "val_loss": history["val_loss"],
-             "process_count": jax.process_count()},
+             "process_count": jax.process_count(), "param_sum": param_sum},
             f,
         )
 

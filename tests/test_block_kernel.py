@@ -112,6 +112,88 @@ def test_fused_block_sharded_matches_plain(params):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_fused_block_train_sharded_grads(params):
+    """Trainable fused block under shard_map on the 8-device DP mesh:
+    forward AND gradients must match the unsharded unfused math. The
+    parameter cotangents cross the check_rep=False boundary only via the
+    explicit psum — without it each shard would return 1/8 of the sum."""
+    import jax
+    from dino_pose_tpu.core.mesh import create_mesh
+    from dino_pose_tpu.ops.block import fused_block_train_sharded
+
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((8, S, D)).astype(np.float32)
+    )
+
+    def loss_sh(x_, p_):
+        return jnp.sum(
+            jnp.square(fused_block_train_sharded(x_, p_, H, EPS, mesh))
+        )
+
+    def loss_ref(x_, p_):
+        return jnp.sum(jnp.square(block_math(x_, p_, num_heads=H, eps=EPS)))
+
+    y_sh = jax.jit(lambda x_, p_: fused_block_train_sharded(x_, p_, H, EPS, mesh))(
+        x, params
+    )
+    y_ref = block_math(x, params, num_heads=H, eps=EPS)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    gx_s, gp_s = jax.jit(jax.grad(loss_sh, argnums=(0, 1)))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               atol=2e-4, rtol=1e-3)
+    for name, a, b in zip(gp_s._fields, gp_s, gp_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"param grad mismatch: {name}",
+        )
+
+
+def test_split_parts_sharded_grads(params):
+    """LoRA split halves under shard_map: attention half + XLA adapter-like
+    stitch + MLP half (frozen-weight backward) must match the unfused
+    composition in value and input gradient on the 8-device DP mesh."""
+    import jax
+    from dino_pose_tpu.core.mesh import create_mesh
+    from dino_pose_tpu.ops.block import (
+        AttnParams, MlpParams, attn_part_math, mlp_part_math,
+        fused_attn_part_sharded, fused_mlp_part_sharded,
+    )
+
+    mesh = create_mesh()
+    ap = AttnParams(params.g1, params.b1, params.wqkv, params.bqkv,
+                    params.wo, params.bo)
+    mp = MlpParams(params.g2, params.b2, params.w1, params.bf1,
+                   params.w2, params.bf2, params.ls2)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((8, S, D)).astype(np.float32)
+    )
+
+    def f_sharded(x_):
+        o = fused_attn_part_sharded(x_, ap, H, EPS, mesh)
+        x2 = x_ + o * params.ls1
+        return jnp.sum(jnp.square(
+            fused_mlp_part_sharded(x2, mp, EPS, True, mesh)
+        ))
+
+    def f_ref(x_):
+        o = attn_part_math(x_, ap, num_heads=H, eps=EPS)
+        x2 = x_ + o * params.ls1
+        return jnp.sum(jnp.square(mlp_part_math(x2, mp, eps=EPS)))
+
+    np.testing.assert_allclose(
+        float(jax.jit(f_sharded)(x)), float(f_ref(x)), rtol=1e-5
+    )
+    g_s = jax.jit(jax.grad(f_sharded))(x)
+    g_r = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_dispatch_block_routes_by_mesh(params):
     """dispatch_block picks shard_map on multi-device targets, the plain
     kernel otherwise; fused_blocks_enabled admits pure-DP meshes only."""

@@ -115,24 +115,14 @@ def test_latest_checkpoint(tmp_path, model):
 
 
 def test_async_checkpoint_writer(tmp_path, model):
-    """Async saves survive a subsequent DONATED train step overwriting the
-    state buffers: the D2H copies are ordered ahead of the donation, so the
-    written file carries the pre-step values."""
+    """Async saves survive donation of the state buffers: the tree is
+    snapshotted to host on the caller thread before save_checkpoint
+    returns, so deleting the source arrays afterwards (what a donated
+    train step does at the Python level — a no-op for buffer reuse on
+    CPU, hence the explicit .delete()) cannot corrupt the write."""
     import jax
 
-    from dino_pose_tpu.train.step import jit_train_step
-
     state, tx, part = create_train_state(model.variables, CONFIG, model.family)
-    step = jit_train_step(model.module, tx, part)
-    rng = np.random.default_rng(0)
-    kps = rng.uniform(20, 200, (2, 24, 3)).astype(np.float32)
-    kps[..., 2] = 2.0
-    batch = {
-        "image": rng.standard_normal((2, 3, 224, 224)).astype(np.float32),
-        "2d_heatmaps": rng.random((2, 24, 48, 48)).astype(np.float32),
-        "2d_keypoints": kps,
-        "z_coords": rng.standard_normal((2, 24)).astype(np.float32),
-    }
     snapshot = np.asarray(
         jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
     ).copy()
@@ -142,9 +132,14 @@ def test_async_checkpoint_writer(tmp_path, model):
         tmp_path / "async.msgpack", model, state=state, epoch=1,
         async_writer=writer,
     )
-    # Donate the state before the writer has (necessarily) finished.
-    state, _ = step(state, batch, jnp.float32(1e-3), jax.random.key(0))
-    jax.block_until_ready(state)
+    # Simulate the donated next step: on TPU, jit(donate_argnums=(0,))
+    # marks every input ArrayImpl deleted the moment the step dispatches.
+    # The CPU test backend ignores donation, so delete explicitly — under
+    # the pre-fix implementation the writer thread then raised
+    # 'Array has been deleted' from writer.wait().
+    for leaf in jax.tree_util.tree_leaves(state):
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
     writer.wait()
 
     ckpt = ck.load_checkpoint(tmp_path / "async.msgpack")

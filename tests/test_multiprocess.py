@@ -122,3 +122,65 @@ def test_two_process_fit_matches_single_process(dataset_dir, tmp_path):
     assert os.path.exists(tmp_path / "ck_mp_0" / "metrics.csv")
     assert not os.path.exists(tmp_path / "ck_mp_1" / "final_model.msgpack")
     assert not os.path.exists(tmp_path / "ck_mp_1" / "metrics.csv")
+
+
+def test_two_process_auto_resume_broadcast(dataset_dir, tmp_path):
+    """Auto-resume on a non-shared filesystem: only the primary has the
+    checkpoint file; the other process must receive the resolved path AND
+    the restored state via broadcast, or replicated params silently diverge
+    (round-2 advisor, medium)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from dino_pose_tpu.config import get_default_configs
+    from dino_pose_tpu.io import checkpoint as ck
+    from dino_pose_tpu.models import registry
+    from dino_pose_tpu.train.state import create_train_state
+
+    # Seed the PRIMARY's checkpoint dir with an epoch-1 checkpoint whose
+    # params differ from fresh init (so a non-broadcast process is caught).
+    _, config_training, config_preproc, config_model = get_default_configs()
+    config_model.update(
+        model_name="test/vit-tiny", use_lora=True, lora_dropout=0.0,
+        unfreeze_last_n_layers=0,
+    )
+    model = registry.create_model_from_config(config_model, pretrained=False)
+    state, _, _ = create_train_state(model.variables, config_model, model.family)
+    state = state.replace(
+        params=jax.tree.map(lambda x: x + 0.01, state.params)
+    )
+    ck0 = tmp_path / "ck_mp_0"
+    ck0.mkdir()
+    ck.save_checkpoint(
+        ck0 / "best_model_1.msgpack", model, state=state, epoch=1,
+        config_training=config_training, config_preproc=config_preproc,
+    )
+
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        env = _clean_env()
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        if pid == 1:
+            env["MP_TEST_PRETEND_NO_CKPT"] = "1"
+        out_json = tmp_path / f"resume_{pid}.json"
+        outs.append(out_json)
+        procs.append(_run_worker(dataset_dir, tmp_path / f"ck_mp_{pid}", out_json, env))
+    logs = [p.communicate(timeout=1800)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    assert "Auto-resuming from latest checkpoint" in logs[0]
+    assert "will receive resumed state from the primary" in logs[1]
+
+    results = [json.loads(o.read_text()) for o in outs]
+    # start_epoch=1 was broadcast: both processes ran exactly 1 more epoch.
+    assert len(results[0]["train_loss"]) == 1
+    assert len(results[1]["train_loss"]) == 1
+    # The restored params were broadcast: final replicated params agree
+    # bit-for-bit across processes (same state + same global batches).
+    assert results[0]["param_sum"] == results[1]["param_sum"]
