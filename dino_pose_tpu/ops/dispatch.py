@@ -35,3 +35,28 @@ def target() -> tuple[str, int]:
 def target_mesh():
     """The mesh the next traces execute on, or None for mesh-less paths."""
     return _MESH
+
+
+def scoped():
+    """Context manager restoring the dispatch target on exit.
+
+    The target is process-global mutable state set by whichever
+    ``create_mesh`` ran last; long-lived processes that train on a mesh and
+    then run mesh-less single-chip work (or tests building transient
+    meshes) must not inherit a stale multi-device target — e.g. single-chip
+    inference after a multichip mesh would silently lose the fused kernels.
+    Wrap the mesh-owning computation; traces after the block see whatever
+    target was configured before it.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        global _DISPATCH, _MESH
+        prev = (_DISPATCH, _MESH)
+        try:
+            yield
+        finally:
+            _DISPATCH, _MESH = prev
+
+    return _scope()

@@ -101,6 +101,30 @@ def fit(
     to every native checkpoint so the PyTorch/CoreML toolchain can consume
     them directly.
     """
+    from dino_pose_tpu.ops import dispatch as kernel_dispatch
+
+    # The mesh created below configures the process-global kernel-dispatch
+    # target; scope it to this fit so later mesh-less work (e.g. single-chip
+    # inference on the returned model) doesn't trace against a stale mesh.
+    with kernel_dispatch.scoped():
+        return _fit(
+            config_dataset, config_training, config_preproc, config_model,
+            mesh=mesh, export_pth=export_pth, progress=progress,
+            num_epochs=num_epochs,
+        )
+
+
+def _fit(
+    config_dataset: dict,
+    config_training: dict,
+    config_preproc: dict,
+    config_model: dict,
+    *,
+    mesh=None,
+    export_pth: bool = True,
+    progress: bool = True,
+    num_epochs: int | None = None,
+) -> dict[str, Any]:
     checkpoint_dir = config_training["checkpoint_dir"]
     os.makedirs(checkpoint_dir, exist_ok=True)
     from dino_pose_tpu.utils.cache import enable_persistent_cache

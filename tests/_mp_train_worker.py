@@ -76,10 +76,15 @@ def main() -> None:
         sum(jax.device_get(x).astype("float64").sum()
             for x in jax.tree_util.tree_leaves(history["state"].params))
     )
+    from dino_pose_tpu.train import evaluate
+
     with open(out_json, "w") as f:
         json.dump(
             {"train_loss": history["train_loss"], "val_loss": history["val_loss"],
-             "process_count": jax.process_count(), "param_sum": param_sum},
+             "process_count": jax.process_count(), "param_sum": param_sum,
+             "pckh_2d": history["best_pckh_2d"],
+             "eval_local_images": evaluate.last_eval_info.get("local_images"),
+             "eval_total_images": evaluate.last_eval_info.get("total_images")},
             f,
         )
 

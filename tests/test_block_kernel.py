@@ -213,6 +213,21 @@ def test_dispatch_block_routes_by_mesh(params):
         dispatch._DISPATCH, dispatch._MESH = old
 
 
+def test_dispatch_scoped_restores_target():
+    """dispatch.scoped() must restore the previous trace target: a mesh
+    built inside the scope (e.g. by fit) must not leak into later
+    mesh-less single-chip traces (round-2 advisor, low)."""
+    from dino_pose_tpu.core.mesh import create_mesh
+    from dino_pose_tpu.ops import dispatch
+
+    before = (dispatch._DISPATCH, dispatch._MESH)
+    with dispatch.scoped():
+        mesh = create_mesh()
+        assert dispatch.target_mesh() is mesh
+        assert dispatch.target()[1] == 8
+    assert (dispatch._DISPATCH, dispatch._MESH) == before
+
+
 def test_lora_split_kernels_match_legacy_path():
     """The LoRA block's split-fused route (fused attention half -> XLA
     adapter -> fused MLP half) must match the legacy module composition in

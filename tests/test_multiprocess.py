@@ -117,6 +117,16 @@ def test_two_process_fit_matches_single_process(dataset_dir, tmp_path):
         multi["val_loss"], single["val_loss"], rtol=2e-4, atol=1e-6
     )
 
+    # Dataset-level PCKh eval is sharded by process: each of the two
+    # processes scans half the val set, yet the combined metric matches the
+    # single-process value (identical initial weights -> identical PCKh).
+    multi1 = json.loads(outs[1].read_text())
+    assert single["eval_local_images"] == N_IMAGES
+    assert multi["eval_local_images"] == N_IMAGES // 2
+    assert multi1["eval_local_images"] == N_IMAGES // 2
+    np.testing.assert_allclose(multi["pckh_2d"], single["pckh_2d"], rtol=1e-5)
+    np.testing.assert_allclose(multi1["pckh_2d"], multi["pckh_2d"], rtol=1e-5)
+
     # Only the primary process writes checkpoints/metrics.
     assert os.path.exists(tmp_path / "ck_mp_0" / "final_model.msgpack")
     assert os.path.exists(tmp_path / "ck_mp_0" / "metrics.csv")
