@@ -40,12 +40,15 @@ from dino_pose_tpu.ops.block import (
     attn_part_math,
     block_math,
     dispatch_attn_part,
+    dispatch_attn_part_stream,
     dispatch_block,
     dispatch_block_train,
     dispatch_mlp_part,
+    dispatch_mlp_part_stream,
     fused_blocks_enabled,
     mlp_part_math,
     parts_fused_enabled,
+    stream_fused_enabled,
 )
 
 Array = jax.Array
@@ -211,6 +214,12 @@ class _LoraAttention(nn.Module):
             d, x.shape[1], x.dtype.itemsize
         ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize):
             o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
+        elif stream_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+        ):
+            o = dispatch_attn_part_stream(
+                x, ap, cfg.num_heads, cfg.layer_norm_eps
+            )
         else:
             o = attn_part_math(
                 x, ap, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
@@ -319,6 +328,16 @@ class Block(nn.Module):
             x2 = x + o * ls1.astype(o.dtype)
             mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
             return dispatch_mlp_part(x2, mp, cfg.layer_norm_eps)
+        elif (self.frozen or deterministic) and stream_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+        ):
+            # dinov2-large: even one half's weights exceed VMEM; stream
+            # weight blocks through while activations stay resident.
+            ap = AttnParams(g1, b1, wqkv, bqkv, wo, bo)
+            o = dispatch_attn_part_stream(x, ap, cfg.num_heads, cfg.layer_norm_eps)
+            x2 = x + o * ls1.astype(o.dtype)
+            mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
+            return dispatch_mlp_part_stream(x2, mp, cfg.layer_norm_eps)
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:
@@ -357,8 +376,14 @@ class Block(nn.Module):
             # (reference dinov2_pose.py:176-204; enforced by
             # train/partition.trainable_mask), so the MLP half's backward
             # skips its weight-gradient accumulation. The same split-part
-            # budget as the frozen elif branch admits dinov2-base/large.
+            # budget as the frozen elif branch admits dinov2-base.
             return dispatch_mlp_part(
+                x2, mp, cfg.layer_norm_eps, assume_frozen_weights=True
+            )
+        if stream_fused_enabled(d, x.shape[1], x.dtype.itemsize, cfg.num_heads):
+            # dinov2-large: streaming MLP half; the adapter's cotangent flows
+            # through the streaming activation-only dx kernel.
+            return dispatch_mlp_part_stream(
                 x2, mp, cfg.layer_norm_eps, assume_frozen_weights=True
             )
         return mlp_part_math(x2, mp, eps=cfg.layer_norm_eps)

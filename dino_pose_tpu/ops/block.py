@@ -1059,6 +1059,419 @@ def dispatch_mlp_part(
     return mlp_part_math(x2, mp, eps=eps)
 
 
+# ---------------------------------------------------------------------------
+# Weight-STREAMING split kernels for backbones whose half-weights exceed VMEM
+# (dinov2-large, D=1024: fc1+fc2 alone are 16.8 MB bf16). The activations and
+# an f32 accumulator stay resident in VMEM/scratch across the inner grid
+# dimension while weight blocks stream through:
+#   - MLP half: fc1 column blocks + fc2 row blocks over the 4D hidden axis;
+#   - attention half: per-head q/k/v column slices + output-projection row
+#     slices over the head axis.
+# Per layer, HBM traffic becomes: read x once, write y once, read the weights
+# (B / rows_per_program) times — vs the unfused XLA path's ~10 full-size
+# activation round-trips per layer. Forward-only (frozen/inference layers and
+# the LoRA configs); the MLP half also has a streaming activation-only dx
+# kernel so the LoRA adapter's cotangent path stays in Pallas.
+# ---------------------------------------------------------------------------
+
+_STREAM_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _stream_mlp_plan(sp: int, d: int, itemsize: int, batch: int):
+    """(rows_per_program g, hidden block bh) for the streaming MLP kernel,
+    or None when nothing fits. Larger g amortises weight re-reads; larger bh
+    means fewer (bigger) MXU calls per block."""
+    hidden = 4 * d
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        for bh in (2048, 1024, 512, 256):
+            if hidden % bh:
+                continue
+            acts = g * sp * (3 * d * itemsize + 4 * d + bh * itemsize + bh * 4)
+            weights = 2 * d * bh * itemsize
+            if acts + weights <= _STREAM_VMEM_BUDGET:
+                return g, bh
+    return None
+
+
+def _attn_heads_per_block(num_heads: int, dh: int) -> int | None:
+    """Heads per streamed weight block: Mosaic needs the block's lane
+    (last) dimension divisible by 128, so groups of ceil(128/dh) heads
+    stream together."""
+    hpb = max(1, -(-128 // dh))
+    while hpb <= num_heads and (num_heads % hpb or (hpb * dh) % 128):
+        hpb += 1
+    return hpb if hpb <= num_heads else None
+
+
+def _stream_attn_plan(
+    sp: int, d: int, dh: int, itemsize: int, batch: int, num_heads: int
+):
+    """(rows_per_program g, heads_per_block) for the head-streaming
+    attention kernel, or None."""
+    hpb = _attn_heads_per_block(num_heads, dh)
+    if hpb is None:
+        return None
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        acts = g * sp * (3 * d * itemsize + 4 * d) + g * sp * sp * 4 \
+            + 6 * g * sp * hpb * dh * itemsize
+        weights = 4 * d * hpb * dh * itemsize
+        if acts + weights <= _STREAM_VMEM_BUDGET:
+            return g, hpb
+    return None
+
+
+def _mlp_stream_kernel(
+    x2_ref, g2, b2, w1_ref, bf1_ref, w2_ref, bf2, ls2,
+    y_ref, m_ref, acc_ref, *, eps: float, n_blocks: int,
+):
+    j = pl.program_id(1)
+    x2 = x2_ref[...]                                   # (g, Sp, D)
+    dt = x2.dtype
+    gg, sp, d = x2.shape
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = _layernorm(x2, g2[0], b2[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m2 = m_ref[...].reshape(gg * sp, d)
+    h1 = (
+        _mm(m2, w1_ref[...], (1,), (0,)).astype(dt) + bf1_ref[0].astype(dt)
+    )
+    h1 = _gelu_exact(h1)
+    acc_ref[...] += _mm(h1, w2_ref[...], (1,), (0,)).reshape(gg, sp, d)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        h2 = acc_ref[...] + bf2[0]
+        y_ref[...] = x2 + (h2 * ls2[0]).astype(dt)
+
+
+def _mlp_stream_dx_kernel(
+    x2_ref, dy_ref, g2, b2, w1_ref, bf1_ref, w2_ref, ls2,
+    dx2_ref, m_ref, acc_ref, *, eps: float, n_blocks: int,
+):
+    """Streaming activation-only backward of the MLP half: dx2 without
+    weight cotangents (frozen-weight LoRA layers discard them)."""
+    j = pl.program_id(1)
+    x2 = x2_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)               # (g, Sp, D)
+    dt = x2.dtype
+    gg, sp, d = x2.shape
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = _layernorm(x2, g2[0], b2[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m2 = m_ref[...].reshape(gg * sp, d)
+    h1 = (
+        _mm(m2, w1_ref[...], (1,), (0,)).astype(dt) + bf1_ref[0].astype(dt)
+    )
+    dh2b = (dy * ls2[0]).astype(dt).reshape(gg * sp, d)
+    dg = _mm(dh2b, w2_ref[...], (1,), (1,))            # (g*Sp, bh) f32
+    dh1 = (dg * _gelu_grad(h1.astype(jnp.float32))).astype(dt)
+    acc_ref[...] += _mm(dh1, w1_ref[...], (1,), (1,)).reshape(gg, sp, d)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        _, xhat2, r2 = _ln_fwd_stats(x2, g2[0], b2[0], eps)
+        dx2_ref[...] = (dy + _ln_bwd_dx(acc_ref[...], xhat2, r2, g2[0])).astype(dt)
+
+
+def _attn_stream_kernel(
+    x_ref, g1, b1, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo,
+    o_ref, a_ref, acc_ref,
+    *, heads_per_block: int, n_groups: int, eps: float, valid_len: int,
+):
+    hg = pl.program_id(1)
+    x = x_ref[...]                                     # (g, Sp, D)
+    dt = x.dtype
+    gg, sp, d = x.shape
+    gw = wq_ref.shape[1]                               # heads_per_block * dh
+    dh = gw // heads_per_block
+    scale = dh**-0.5
+
+    @pl.when(hg == 0)
+    def _init():
+        a_ref[...] = _layernorm(x, g1[0], b1[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a2 = a_ref[...].reshape(gg * sp, d)
+
+    def group_proj(w_ref, b_ref):
+        return (
+            _mm(a2, w_ref[...], (1,), (0,)).astype(dt) + b_ref[0].astype(dt)
+        ).reshape(gg, sp, gw)
+
+    qg = group_proj(wq_ref, bq_ref)
+    kg = group_proj(wk_ref, bk_ref)
+    vg = group_proj(wv_ref, bv_ref)
+    ctx_parts = []
+    for t in range(heads_per_block):
+        q = qg[:, :, t * dh : (t + 1) * dh]
+        k = kg[:, :, t * dh : (t + 1) * dh]
+        v = vg[:, :, t * dh : (t + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                      # (g, Sp, Sp) f32
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        ctx_parts.append(
+            jax.lax.dot_general(
+                probs, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)                               # (g, Sp, dh)
+        )
+    ctx = jnp.concatenate(ctx_parts, axis=-1)          # (g, Sp, gw)
+    acc_ref[...] += _mm(
+        ctx.reshape(gg * sp, gw), wo_ref[...], (1,), (0,)
+    ).reshape(gg, sp, d)
+
+    @pl.when(hg == n_groups - 1)
+    def _fin():
+        o_ref[...] = (acc_ref[...] + bo[0]).astype(dt)
+
+
+def _mlp_stream_call(kernel, extra_in, x2p, mp_names, mp, eps, g, bh, out_dtype):
+    """Shared pallas_call builder for the streaming MLP forward/dx kernels."""
+    b, sp, d = x2p.shape
+    _, vecs, _ = _prep_block_args(x2p, mp, mp_names)
+    named = dict(zip(mp_names, vecs))
+    wdt = x2p.dtype
+    w1 = mp.w1.astype(wdt)
+    w2 = mp.w2.astype(wdt)
+    n_blocks = (4 * d) // bh
+
+    xspec = pl.BlockSpec((g, sp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    w1spec = pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    bf1spec = pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [xspec] + [xspec] * len(extra_in)
+    in_specs += [vspec(named["g2"]), vspec(named["b2"]), w1spec, bf1spec, w2spec]
+    operands = [x2p, *extra_in, named["g2"], named["b2"], w1, named["bf1"], w2]
+    if "bf2" in named:
+        in_specs.append(vspec(named["bf2"]))
+        operands.append(named["bf2"])
+    in_specs.append(vspec(named["ls2"]))
+    operands.append(named["ls2"])
+
+    return pl.pallas_call(
+        functools.partial(kernel, eps=eps, n_blocks=n_blocks),
+        grid=(b // g, n_blocks),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, sp, d), x2p.dtype),
+            pltpu.VMEM((g, sp, d), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_mlp_part_stream(
+    x2: Array, mp: MlpParams, eps: float, assume_frozen_weights: bool = False
+) -> Array:
+    """Weight-streaming fused MLP half (D too large for resident weights).
+
+    ``assume_frozen_weights=True`` backward runs the streaming
+    activation-only dx kernel (zero weight cotangents — LoRA frozen-backbone
+    contract); otherwise the backward falls back to jax.vjp of the unfused
+    math (exact, slower — trainable big-D blocks are not a production
+    config)."""
+    b, s, d = x2.shape
+    sp = -(-s // 8) * 8
+    x2p = jnp.pad(x2, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x2
+    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b)
+    if plan is None:
+        raise ValueError(
+            f"no streaming MLP plan fits VMEM for (S={s}, D={d}); gate with "
+            "stream_fused_enabled before dispatching"
+        )
+    g, bh = plan
+    names = ["g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    out = _mlp_stream_call(
+        _mlp_stream_kernel, [], x2p, names, mp, eps, g, bh, x2p.dtype
+    )
+    return out[:, :s, :] if sp != s else out
+
+
+def _mlp_stream_fwd(x2, mp, eps, assume_frozen_weights=False):
+    return fused_mlp_part_stream(x2, mp, eps, assume_frozen_weights), (x2, mp)
+
+
+def _mlp_stream_bwd(eps, assume_frozen_weights, residuals, dy):
+    x2, mp = residuals
+    if not assume_frozen_weights:
+        _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
+        return vjp(dy)
+    b, s, d = x2.shape
+    sp = -(-s // 8) * 8
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    x2p = jnp.pad(x2, pad) if sp != s else x2
+    dyp = jnp.pad(dy, pad) if sp != s else dy
+    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b)
+    g, bh = plan
+    names = ["g2", "b2", "w1", "bf1", "w2", "ls2"]
+    dx2p = _mlp_stream_call(
+        _mlp_stream_dx_kernel, [dyp], x2p, names, mp, eps, g, bh, x2p.dtype
+    )
+    dx2 = dx2p[:, :s, :] if sp != s else dx2p
+    return dx2, jax.tree.map(jnp.zeros_like, mp)
+
+
+fused_mlp_part_stream.defvjp(_mlp_stream_fwd, _mlp_stream_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attn_part_stream(
+    x: Array, ap: AttnParams, num_heads: int, eps: float
+) -> Array:
+    """Head-streaming fused attention half: q/k/v column slices and
+    output-projection row slices stream per head while LN1(x) and the f32
+    output accumulator stay resident. Forward-only (backward falls back to
+    the unfused math; never pulled in the production LoRA/frozen configs)."""
+    b, s, d = x.shape
+    dh = d // num_heads
+    sp = -(-s // 8) * 8
+    xp = jnp.pad(x, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x
+    plan = _stream_attn_plan(sp, d, dh, x.dtype.itemsize, b, num_heads)
+    if plan is None:
+        raise ValueError(
+            f"no streaming attention plan fits VMEM for (S={s}, D={d}); "
+            "gate with stream_fused_enabled before dispatching"
+        )
+    g, hpb = plan
+    n_groups = num_heads // hpb
+    gw = hpb * dh
+
+    wdt = x.dtype
+    wq, wk, wv = jnp.split(ap.wqkv.astype(wdt), 3, axis=1)
+    bq, bk, bv = jnp.split(ap.bqkv.reshape(1, -1).astype(jnp.float32), 3, axis=1)
+    wo = ap.wo.astype(wdt)
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    g1, b1, bo = vec(ap.g1), vec(ap.b1), vec(ap.bo)
+
+    xspec = pl.BlockSpec((g, sp, d), lambda i, h: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i, h: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    colspec = pl.BlockSpec((d, gw), lambda i, h: (0, h), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), lambda i, h: (0, h), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((gw, d), lambda i, h: (h, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_stream_kernel, heads_per_block=hpb, n_groups=n_groups,
+            eps=eps, valid_len=s,
+        ),
+        grid=(b // g, n_groups),
+        in_specs=[xspec, vspec(g1), vspec(b1), colspec, colspec, colspec,
+                  bspec, bspec, bspec, rowspec, vspec(bo)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, sp, d), x.dtype),
+            pltpu.VMEM((g, sp, d), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(xp, g1, b1, wq, wk, wv, bq, bk, bv, wo, bo)
+    return out[:, :s, :] if sp != s else out
+
+
+def _attn_stream_fwd(x, ap, num_heads, eps):
+    return fused_attn_part_stream(x, ap, num_heads, eps), (x, ap)
+
+
+def _attn_stream_bwd(num_heads, eps, residuals, dy):
+    x, ap = residuals
+    _, vjp = jax.vjp(
+        lambda x_, ap_: attn_part_math(x_, ap_, num_heads=num_heads, eps=eps),
+        x, ap,
+    )
+    return vjp(dy)
+
+
+fused_attn_part_stream.defvjp(_attn_stream_fwd, _attn_stream_bwd)
+
+
+def dispatch_attn_part_stream(x, ap: AttnParams, num_heads: int, eps: float) -> Array:
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return fused_attn_part_stream(x, ap, num_heads, eps)
+    mesh = _dp_shard_mesh(x.shape[0])
+    if mesh is not None:
+        return _shard_map_dp(
+            lambda x_, ap_: fused_attn_part_stream(x_, ap_, num_heads, eps),
+            mesh, x, ap,
+        )
+    return attn_part_math(x, ap, num_heads=num_heads, eps=eps)
+
+
+def dispatch_mlp_part_stream(
+    x2, mp: MlpParams, eps: float, assume_frozen_weights: bool = False
+) -> Array:
+    platform, n_devices = _dispatch_target()
+    if n_devices == 1:
+        return fused_mlp_part_stream(x2, mp, eps, assume_frozen_weights)
+    mesh = _dp_shard_mesh(x2.shape[0])
+    if mesh is not None:
+        return _shard_map_dp(
+            lambda x2_, mp_: fused_mlp_part_stream(
+                x2_, mp_, eps, assume_frozen_weights
+            ),
+            mesh, x2, mp,
+        )
+    return mlp_part_math(x2, mp, eps=eps)
+
+
+def stream_fused_enabled(
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2, num_heads: int = 16
+) -> bool:
+    """Dispatch for the weight-STREAMING split kernels: engaged only when
+    the whole-half kernels do not fit (``parts_fused_enabled`` is False —
+    resident weights beat streamed weights when possible) but a streaming
+    plan exists for both halves. ``DINO_POSE_TPU_BLOCK=unfused|xla``
+    disables, ``=stream`` forces (test hook; interpret mode off-TPU)."""
+    import os
+
+    override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
+    if override in ("unfused", "xla"):
+        return False
+    if override != "stream":
+        platform, n_devices = _dispatch_target()
+        if platform != "tpu":
+            return False
+        if n_devices > 1 and not _pure_dp_mesh(n_devices):
+            return False
+        if parts_fused_enabled(hidden_size, seq_len, itemsize):
+            return False  # whole-half kernels are strictly better when they fit
+    d = hidden_size
+    sp = -(-seq_len // 8) * 8
+    return (
+        _stream_mlp_plan(sp, d, itemsize, 1) is not None
+        and _stream_attn_plan(sp, d, d // num_heads, itemsize, 1, num_heads)
+        is not None
+    )
+
+
 def parts_fused_enabled(
     hidden_size: int, seq_len: int = 257, itemsize: int = 2
 ) -> bool:

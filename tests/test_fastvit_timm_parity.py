@@ -1,0 +1,117 @@
+"""FastViT timm-weight parity — STAGED (auto-skips: timm is not in this image).
+
+Activation is a single command on any machine with timm installed:
+
+    pip install timm && python -m pytest tests/test_fastvit_timm_parity.py -q
+
+Set ``TIMM_PRETRAINED=1`` (needs network / a populated HF cache) to run
+against the real ``apple_in1k`` weights; without it the timm model is
+randomly initialised — the parity assertions are identical either way, since
+random init already exercises every key correspondence and layout transform.
+
+What it proves when it runs: the torch bridge's FastViT key naming and
+weight layouts round-trip real timm state dicts — (1) the bridge's
+apple/ml-fastvit-style key set maps 1:1 onto timm's ``fastvit_t8`` module
+tree, (2) a strict import succeeds, and (3) the JAX backbone's features
+match timm's ``forward_features`` numerically. Until timm is available the
+bridge is verified internally only (ROADMAP #1 / round-2 verdict missing #2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+timm = pytest.importorskip("timm")
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from dino_pose_tpu.io import torch_bridge as tb  # noqa: E402
+from dino_pose_tpu.models.fastvit import (  # noqa: E402
+    FASTVIT_PRESETS,
+    FastViTBackbone,
+)
+
+pytestmark = pytest.mark.slow
+
+# apple/ml-fastvit naming (the bridge contract — the reference's checkpoints
+# use it, /root/reference/model/fastvit_pose.py loads timm then saves its own
+# state dicts) -> timm module naming for the same tensors.
+_APPLE_TO_TIMM_SUBSTRINGS = [
+    (".rbr_conv.", ".conv_kxk."),
+    (".rbr_scale.", ".conv_scale."),
+    (".rbr_skip.", ".identity."),
+    (".lkb_origin.", ".large_conv."),
+    (".se.reduce.", ".se.fc1."),
+    (".se.expand.", ".se.fc2."),
+    (".pe.", ".pos_enc."),
+]
+# apple keeps LayerScale as a raw (C,1,1) parameter; timm wraps it in a
+# LayerScale2d module whose parameter is `gamma`.
+_LAYER_SCALE_SUFFIXES = ("layer_scale", "layer_scale_1", "layer_scale_2")
+
+
+def _timm_key(apple_key: str) -> str:
+    k = apple_key
+    for a, t in _APPLE_TO_TIMM_SUBSTRINGS:
+        k = k.replace(a, t)
+    for suffix in _LAYER_SCALE_SUFFIXES:
+        if k.endswith(f"{suffix}"):
+            k = f"{k}.gamma"
+            break
+    return k
+
+
+def test_timm_fastvit_t8_weight_and_forward_parity():
+    tm = timm.create_model(
+        "fastvit_t8", pretrained=bool(os.environ.get("TIMM_PRETRAINED"))
+    )
+    tm.eval()
+    timm_sd = {
+        k: v for k, v in tm.state_dict().items()
+        if not k.startswith("head.") and not k.endswith("num_batches_tracked")
+    }
+
+    cfg = FASTVIT_PRESETS["t8"]
+    rules = tb.fastvit_backbone_rules(cfg, base=(), torch_prefix="")
+    apple_keys = [r.torch_key for r in rules]
+
+    translated = {_timm_key(k): k for k in apple_keys}
+    missing = sorted(set(timm_sd) - set(translated))
+    unexpected = sorted(set(translated) - set(timm_sd))
+    assert not missing and not unexpected, (
+        "bridge<->timm key mismatch.\n"
+        f"timm keys the bridge does not map ({len(missing)}): {missing[:20]}\n"
+        f"bridge keys absent from timm ({len(unexpected)}): {unexpected[:20]}"
+    )
+
+    # Rebuild an apple-named state dict from the timm values and import it
+    # strictly through the bridge.
+    apple_sd = {}
+    for timm_k, apple_k in translated.items():
+        v = timm_sd[timm_k].detach().cpu()
+        if any(apple_k.endswith(s) for s in _LAYER_SCALE_SUFFIXES):
+            v = v.reshape(-1, 1, 1)  # timm gamma (C,) -> apple (C,1,1)
+        apple_sd[apple_k] = v.numpy()
+
+    backbone = FastViTBackbone(cfg)
+    x_nhwc = np.random.default_rng(0).standard_normal(
+        (1, 256, 256, 3)
+    ).astype(np.float32)
+    variables = backbone.init(jax.random.key(0), x_nhwc, train=False)
+    variables = tb.import_params(variables, apple_sd, rules, strict=True)
+
+    feats_jax = backbone.apply(variables, x_nhwc, train=False)
+
+    with torch.no_grad():
+        feats_t = tm.forward_features(
+            torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2))
+        )
+    np.testing.assert_allclose(
+        np.asarray(feats_jax),
+        feats_t.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4,
+    )
