@@ -104,7 +104,7 @@ def bench_train(
     }
 
 
-def bench_infer(model_name: str, iters: int = 50) -> dict:
+def bench_infer(model_name: str, iters: int = 50, image_size: int = 224) -> dict:
     from dino_pose_tpu.models import registry
     from dino_pose_tpu.ops.decode import decode_heatmaps
 
@@ -118,9 +118,12 @@ def bench_infer(model_name: str, iters: int = 50) -> dict:
     @jax.jit
     def infer(variables, x):
         hm, z = model.module.apply(variables, x, train=False)
-        return decode_heatmaps(hm, (224, 224)), z
+        return decode_heatmaps(hm, (image_size, image_size)), z
 
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 224, 224)), dtype)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 3, image_size, image_size)),
+        dtype,
+    )
     # One transfer up front — the factory keeps variables host-side, and
     # re-shipping ~90 MB of params per call would swamp the latency signal.
     variables = jax.device_put(model.variables)
@@ -221,7 +224,7 @@ def main():
             "extra": r,
         }
     elif args.mode == "infer":
-        r = bench_infer(args.model)
+        r = bench_infer(args.model, image_size=args.image_size)
         result = {
             "metric": "infer_p50_latency_ms",
             "value": round(r["p50_latency_ms"], 3),

@@ -212,7 +212,9 @@ class _LoraAttention(nn.Module):
         # monolithic budget and ran dinov2-base/large fully unfused).
         if fused_blocks_enabled(
             d, x.shape[1], x.dtype.itemsize
-        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize):
+        ) or parts_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+        ):
             o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
         elif stream_fused_enabled(
             d, x.shape[1], x.dtype.itemsize, cfg.num_heads
@@ -318,7 +320,7 @@ class Block(nn.Module):
                     x, p, cfg.num_heads, cfg.layer_norm_eps
                 )
         elif (self.frozen or deterministic) and parts_fused_enabled(
-            d, x.shape[1], x.dtype.itemsize
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
         ):
             # Big backbones (dinov2-base): the monolithic kernel's weights
             # exceed VMEM, but each half fits — fuse per half with the
@@ -371,7 +373,7 @@ class Block(nn.Module):
         mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
         if fused_blocks_enabled(
             d, x.shape[1], x.dtype.itemsize
-        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize):
+        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize, cfg.num_heads):
             # assume_frozen_weights: LoRA configs freeze the entire backbone
             # (reference dinov2_pose.py:176-204; enforced by
             # train/partition.trainable_mask), so the MLP half's backward

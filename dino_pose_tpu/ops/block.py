@@ -675,11 +675,13 @@ def _warn_once(msg: str) -> None:
         print(f"dino_pose_tpu: {msg}")
 
 
-def _dp_shard_mesh(batch: int):
+def _dp_shard_mesh(batch: int, quiet_tp: bool = False):
     """The mesh to shard_map a fused kernel over, or None when the caller
     must fall back to unfused math (reason logged once). Only pure-DP
-    meshes qualify: Megatron-sharded weights would need per-layer
-    all-gathers inside the kernel, which defeats the fusion."""
+    meshes qualify here: Megatron-sharded weights would need per-layer
+    all-gathers inside a whole-weight kernel. The split-half dispatches
+    pass ``quiet_tp=True`` because they have their own tensor-parallel
+    route (:func:`_tp_shard_mesh`) to try next."""
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return None
@@ -693,10 +695,12 @@ def _dp_shard_mesh(batch: int):
         )
         return None
     if mesh.shape.get("model", 1) != 1:
-        _warn_once(
-            "fused kernels downgraded to unfused math: tensor-parallel "
-            "('model' axis) meshes shard the weights the kernel needs whole"
-        )
+        if not quiet_tp:
+            _warn_once(
+                "fused kernels downgraded to unfused math: tensor-parallel "
+                "('model' axis) meshes shard the weights this kernel needs "
+                "whole (the split-half dispatches run TP-fused instead)"
+            )
         return None
     dp = mesh.shape.get("data", 1)
     if batch % dp:
@@ -806,6 +810,29 @@ class MlpParams(NamedTuple):
     ls2: Array
 
 
+class AttnPartialParams(NamedTuple):
+    """One TP shard's attention-half parameters: ``wqkv`` holds the shard's
+    head columns (D, 3*D/tp), ``wo`` its out-projection rows (D/tp, D). The
+    output bias lives OUTSIDE (applied once after the cross-shard psum)."""
+
+    g1: Array
+    b1: Array
+    wqkv: Array
+    bqkv: Array
+    wo: Array
+
+
+class MlpPartialParams(NamedTuple):
+    """One TP shard's MLP-half parameters: fc1 columns (D, 4D/tp), fc2 rows
+    (4D/tp, D). fc2 bias / LayerScale / residual apply after the psum."""
+
+    g2: Array
+    b2: Array
+    w1: Array
+    bf1: Array
+    w2: Array
+
+
 def attn_part_math(x: Array, ap: AttnParams, *, num_heads: int, eps: float) -> Array:
     """Unfused LN1 -> qkv -> attention -> out-projection (pre-LayerScale)."""
     from dino_pose_tpu.ops.attention import attention
@@ -833,13 +860,48 @@ def mlp_part_math(x2: Array, mp: MlpParams, *, eps: float) -> Array:
     return x2 + h * mp.ls2.astype(h.dtype)
 
 
-def _attn_part_kernel(
-    x_ref, g1, b1, wqkv, bqkv, wo, bo, o_ref,
-    *, num_heads: int, eps: float, valid_len: int,
+def attn_part_math_partial(
+    x: Array, pp: AttnPartialParams, *, num_heads: int, eps: float
+) -> Array:
+    """Unfused math of one TP shard's attention half (local heads, no output
+    bias) — the fused partial kernel's VJP fallback and parity reference."""
+    b, s, _ = x.shape
+    dl = pp.wqkv.shape[-1] // 3
+    dh = dl // num_heads
+    from dino_pose_tpu.ops.attention import attention
+
+    h = _layernorm(x, pp.g1, pp.b1, eps)
+    qkv = _dense(h, pp.wqkv, pp.bqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split(t):
+        return t.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+
+    ctx = attention(split(q), split(k), split(v), scale=dh**-0.5)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, dl)
+    return jnp.dot(ctx, pp.wo.astype(ctx.dtype)).astype(ctx.dtype)
+
+
+def mlp_part_math_partial(x2: Array, pp: MlpPartialParams, *, eps: float) -> Array:
+    """Unfused math of one TP shard's MLP half (partial fc2 product)."""
+    h = _layernorm(x2, pp.g2, pp.b2, eps)
+    h = _dense(h, pp.w1, pp.bf1)
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(h, pp.w2.astype(h.dtype)).astype(h.dtype)
+
+
+def _attn_half_core(
+    x, g1, b1, wqkv, bqkv, wo, *, num_heads: int, eps: float, valid_len: int,
 ):
-    x = x_ref[...]                       # (G, Sp, D)
-    d = x.shape[-1]
-    dh = d // num_heads
+    """LN1 -> qkv -> attention -> out-projection PRODUCT (no output bias).
+
+    Shared kernel body for the full half (caller adds ``bo``) and the
+    tensor-parallel partial half (``bo`` is applied once, after the
+    cross-shard psum). The head width comes from ``wqkv`` — on a TP shard
+    the projection is (D, 3*D/tp) with ``num_heads/tp`` local heads.
+    """
+    dl = wqkv.shape[-1] // 3             # per-shard head width (== D unsharded)
+    dh = dl // num_heads
     scale = dh**-0.5
     sp = x.shape[1]
 
@@ -854,8 +916,8 @@ def _attn_part_kernel(
     ctx_parts = []
     for h in range(num_heads):
         q = qkv[:, :, h * dh : (h + 1) * dh]
-        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
-        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        k = qkv[:, :, dl + h * dh : dl + (h + 1) * dh]
+        v = qkv[:, :, 2 * dl + h * dh : 2 * dl + (h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -873,12 +935,31 @@ def _attn_part_kernel(
             ).astype(x.dtype)
         )
     ctx = jnp.concatenate(ctx_parts, axis=-1)
-    o_ref[...] = (
-        jax.lax.dot_general(
-            ctx, wo[...], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        + bo[0].astype(x.dtype)
+    return jax.lax.dot_general(
+        ctx, wo[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _attn_part_kernel(
+    x_ref, g1, b1, wqkv, bqkv, wo, bo, o_ref,
+    *, num_heads: int, eps: float, valid_len: int,
+):
+    x = x_ref[...]                       # (G, Sp, D)
+    o_ref[...] = _attn_half_core(
+        x, g1, b1, wqkv, bqkv, wo,
+        num_heads=num_heads, eps=eps, valid_len=valid_len,
+    ) + bo[0].astype(x.dtype)
+
+
+def _attn_part_partial_kernel(
+    x_ref, g1, b1, wqkv, bqkv, wo, o_ref,
+    *, num_heads: int, eps: float, valid_len: int,
+):
+    """TP shard's attention half: local heads, partial out-projection sum."""
+    o_ref[...] = _attn_half_core(
+        x_ref[...], g1, b1, wqkv, bqkv, wo,
+        num_heads=num_heads, eps=eps, valid_len=valid_len,
     )
 
 
@@ -921,6 +1002,61 @@ def _mlp_dx_kernel(
     dh1b = (dg * _gelu_grad(h1.astype(jnp.float32))).astype(dt)
     dm = _mm(dh1b, w1[...], (1,), (1,)).astype(jnp.float32)
     dx2_ref[0] = (dy + _ln_bwd_dx(dm, xhat2, r2, g2[0])).astype(dt)
+
+
+def _mlp_part_partial_kernel(
+    x2_ref, g2, b2, w1, bf1, w2, y_ref, *, eps: float,
+):
+    """TP shard's MLP half: partial fc2 product (bias/LayerScale/residual
+    apply once, outside the psum)."""
+    x2 = x2_ref[...]                     # (G, Sp, D)
+    m = _layernorm(x2, g2[0], b2[0], eps)
+    h1 = (
+        jax.lax.dot_general(
+            m, w1[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x2.dtype)
+        + bf1[0].astype(x2.dtype)
+    )
+    h1 = _gelu_exact(h1)
+    y_ref[...] = jax.lax.dot_general(
+        h1, w2[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x2.dtype)
+
+
+def _mlp_dx_fits(sp: int, d: int, itemsize: int, hidden: int | None = None) -> bool:
+    """Conservative scoped-VMEM model for the RESIDENT activation-only dx
+    kernels (:func:`_mlp_dx_kernel` / :func:`_mlp_partial_dx_kernel`):
+    2x-buffered x2/dy/dx2 pipeline blocks, resident fc1+fc2 (constant-index
+    blocks are single-buffered), f32 LN stats, and the (Sp, hidden)
+    native+f32 intermediates. At D=768 this comes to ~20 MiB — past
+    Mosaic's 16 MiB stack (a compiler report measured 19.32 MiB), so the
+    frozen backward must stream instead (see ``_mlp_part_bwd``)."""
+    h = 4 * d if hidden is None else hidden
+    i = itemsize
+    streams = 6 * sp * d * i
+    weights = 2 * d * h * i
+    temps = sp * d * (i + 8) + sp * h * (2 * i + 4)
+    return streams + weights + temps <= 15 * 1024 * 1024
+
+
+def _mlp_partial_dx_kernel(
+    x2_ref, dp_ref, g2, b2, w1, bf1, w2, dx2_ref, *, eps: float,
+):
+    """Activation-only backward of a TP shard's partial MLP half: the
+    cotangent ``dp`` arrives already scaled by the external LayerScale
+    chain, and the residual's identity term is added by autodiff outside —
+    only the LN -> fc1 -> gelu -> fc2 path is inverted here."""
+    x2 = x2_ref[0]                                    # (Sp, D)
+    dp = dp_ref[0]
+    dt = x2.dtype
+    m, xhat2, r2 = _ln_fwd_stats(x2, g2[0], b2[0], eps)
+    h1 = (_mm(m, w1[...], (1,), (0,)).astype(dt) + bf1[0].astype(dt))
+    dg = _mm(dp.astype(dt), w2[...], (1,), (1,)).astype(jnp.float32)
+    dh1b = (dg * _gelu_grad(h1.astype(jnp.float32))).astype(dt)
+    dm = _mm(dh1b, w1[...], (1,), (1,)).astype(jnp.float32)
+    dx2_ref[0] = _ln_bwd_dx(dm, xhat2, r2, g2[0]).astype(dt)
 
 
 def _part_call(kernel, x, args, sp, g):
@@ -1006,6 +1142,12 @@ def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
     dyp = jnp.pad(dy, pad) if sp != s else dy
 
     if assume_frozen_weights:
+        if not _mlp_dx_fits(sp, d, x2.dtype.itemsize):
+            # The resident dx kernel's working set exceeds scoped VMEM at
+            # D >= 768; the STREAMING activation-only dx kernel computes the
+            # identical backward (fused_mlp_part and fused_mlp_part_stream
+            # share the y = x2 + ls2*(fc2(gelu(fc1(LN(x2)))) + bf2) math).
+            return _mlp_stream_bwd(eps, True, (x2, mp), dy)
         _, args, _ = _prep_block_args(x2p, mp, list(MlpParams._fields))
         xspec = pl.BlockSpec(
             (1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1037,13 +1179,216 @@ def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
 fused_mlp_part.defvjp(_mlp_part_fwd, _mlp_part_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Tensor-parallel split halves: on a ('data', 'model') mesh each model shard
+# runs the fused half kernel on ITS Megatron slice — local head columns for
+# attention, local fc1 columns / fc2 rows for the MLP — producing a partial
+# out-projection sum; one psum over 'model' per half stitches the residual
+# branch (the same single-all-reduce-per-branch layout core/sharding.py's
+# pjit rules give the unfused path, but with the Pallas kernels kept).
+# Output bias / LayerScale / residual apply once, outside the psum.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attn_part_partial(
+    x: Array, pp: AttnPartialParams, num_heads: int, eps: float
+) -> Array:
+    """Fused attention half on one TP shard: ``num_heads`` LOCAL heads,
+    partial (pre-psum, pre-bias) out-projection product. Backward falls
+    back to the unfused partial math (never pulled when everything below
+    the adapter is frozen)."""
+    b, s, d = x.shape
+    xp, args, sp = _prep_block_args(x, pp, list(AttnPartialParams._fields))
+    g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
+    while b % g:
+        g //= 2
+    out = _part_call(
+        functools.partial(
+            _attn_part_partial_kernel, num_heads=num_heads, eps=eps, valid_len=s
+        ),
+        xp, args, sp, g,
+    )(xp, *args)
+    return out[:, :s, :] if sp != s else out
+
+
+def _attn_partial_fwd(x, pp, num_heads, eps):
+    return fused_attn_part_partial(x, pp, num_heads, eps), (x, pp)
+
+
+def _attn_partial_bwd(num_heads, eps, residuals, dy):
+    x, pp = residuals
+    _, vjp = jax.vjp(
+        lambda x_, pp_: attn_part_math_partial(
+            x_, pp_, num_heads=num_heads, eps=eps
+        ),
+        x, pp,
+    )
+    return vjp(dy)
+
+
+fused_attn_part_partial.defvjp(_attn_partial_fwd, _attn_partial_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_mlp_part_partial(
+    x2: Array, pp: MlpPartialParams, eps: float, assume_frozen_weights: bool = False
+) -> Array:
+    """Fused MLP half on one TP shard (partial fc2 product).
+
+    ``assume_frozen_weights=True`` backward runs the activation-only partial
+    dx kernel (zero weight cotangents — the LoRA frozen-backbone contract);
+    otherwise jax.vjp of the unfused partial math."""
+    b, s, d = x2.shape
+    x2p, args, sp = _prep_block_args(x2, pp, list(MlpPartialParams._fields))
+    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), 1)
+    while b % g:
+        g //= 2
+    out = _part_call(
+        functools.partial(_mlp_part_partial_kernel, eps=eps), x2p, args, sp, g
+    )(x2p, *args)
+    return out[:, :s, :] if sp != s else out
+
+
+def _mlp_partial_fwd(x2, pp, eps, assume_frozen_weights=False):
+    return fused_mlp_part_partial(x2, pp, eps, assume_frozen_weights), (x2, pp)
+
+
+def _mlp_partial_bwd(eps, assume_frozen_weights, residuals, dp):
+    x2, pp = residuals
+    b, s, d = x2.shape
+    sp = -(-s // 8) * 8
+    if not assume_frozen_weights or not _mlp_dx_fits(
+        sp, d, x2.dtype.itemsize, hidden=pp.w1.shape[-1]
+    ):
+        # Unfrozen weights need full cotangents; oversized resident dx
+        # working sets (D=1024 at tp=2) take the exact unfused VJP too.
+        _, vjp = jax.vjp(
+            lambda x_, pp_: mlp_part_math_partial(x_, pp_, eps=eps), x2, pp
+        )
+        return vjp(dp)
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    x2p = jnp.pad(x2, pad) if sp != s else x2
+    dpp = jnp.pad(dp, pad) if sp != s else dp
+    _, args, _ = _prep_block_args(x2p, pp, list(MlpPartialParams._fields))
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dx2p = pl.pallas_call(
+        functools.partial(_mlp_partial_dx_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[xspec, xspec] + [_CONST(a) for a in args],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x2p.dtype),
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x2p, dpp, *args)
+    dx2 = dx2p[:, :s, :] if sp != s else dx2p
+    return dx2, jax.tree.map(jnp.zeros_like, pp)
+
+
+fused_mlp_part_partial.defvjp(_mlp_partial_fwd, _mlp_partial_bwd)
+
+
+def attn_part_tp(
+    x: Array, ap: AttnParams, num_heads: int, eps: float, mesh
+) -> Array:
+    """Attention half over a ('data', 'model') mesh: heads over 'model',
+    batch over 'data', one psum per layer."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["model"]
+    wq, wk, wv = jnp.split(ap.wqkv, 3, axis=1)
+    bq, bk, bv = jnp.split(ap.bqkv, 3)
+
+    def local(x_l, wq_l, wk_l, wv_l, bq_l, bk_l, bv_l, wo_l, g1, b1):
+        pp = AttnPartialParams(
+            g1=g1, b1=b1,
+            wqkv=jnp.concatenate([wq_l, wk_l, wv_l], axis=1),
+            bqkv=jnp.concatenate([bq_l, bk_l, bv_l]),
+            wo=wo_l,
+        )
+        part = fused_attn_part_partial(x_l, pp, num_heads // tp, eps)
+        return jax.lax.psum(part, "model")
+
+    o = shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P("data"),
+            P(None, "model"), P(None, "model"), P(None, "model"),
+            P("model"), P("model"), P("model"),
+            P("model", None), P(), P(),
+        ),
+        out_specs=P("data"),
+        check_rep=False,  # custom_vjp inside
+    )(x, wq, wk, wv, bq, bk, bv, ap.wo, ap.g1, ap.b1)
+    return o + ap.bo.astype(o.dtype)
+
+
+def mlp_part_tp(
+    x2: Array, mp: MlpParams, eps: float, assume_frozen_weights: bool, mesh
+) -> Array:
+    """MLP half over a ('data', 'model') mesh: fc1 columns / fc2 rows over
+    'model', batch over 'data', one psum per layer."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(x2_l, w1_l, bf1_l, w2_l, g2, b2):
+        pp = MlpPartialParams(g2=g2, b2=b2, w1=w1_l, bf1=bf1_l, w2=w2_l)
+        part = fused_mlp_part_partial(x2_l, pp, eps, assume_frozen_weights)
+        return jax.lax.psum(part, "model")
+
+    h2 = shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P("data"), P(None, "model"), P("model"), P("model", None),
+            P(), P(),
+        ),
+        out_specs=P("data"),
+        check_rep=False,
+    )(x2, mp.w1, mp.bf1, mp.w2, mp.g2, mp.b2)
+    h2 = h2 + mp.bf2.astype(h2.dtype)
+    return x2 + h2 * mp.ls2.astype(h2.dtype)
+
+
+def _tp_shard_mesh(batch: int, *, heads: int | None = None, hidden: int | None = None):
+    """The ('data', 'model') mesh for tensor-parallel split-half dispatch,
+    or None when the shapes do not divide (reason logged once). Attention
+    callers pass ``heads`` (heads must divide over 'model'); MLP callers
+    pass ``hidden`` (the 4D hidden axis must divide)."""
+    platform, n_devices = _dispatch_target()
+    if n_devices <= 1:
+        return None
+    from dino_pose_tpu.ops.dispatch import target_mesh
+
+    mesh = target_mesh()
+    if mesh is None or mesh.devices.size != n_devices:
+        return None
+    tp = mesh.shape.get("model", 1)
+    if tp == 1:
+        return None  # pure DP is the _dp_shard_mesh path
+    dp = mesh.shape.get("data", 1)
+    bad = batch % dp
+    bad = bad or (heads is not None and heads % tp)
+    bad = bad or (hidden is not None and (4 * hidden) % tp)
+    if bad:
+        _warn_once(
+            "fused TP halves downgraded to unfused math: "
+            f"batch {batch} / heads {heads} / hidden {hidden} do not "
+            f"divide over the {dp}x{tp} mesh"
+        )
+        return None
+    return mesh
+
+
 def dispatch_attn_part(x, ap: AttnParams, num_heads: int, eps: float) -> Array:
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return fused_attn_part(x, ap, num_heads, eps)
-    mesh = _dp_shard_mesh(x.shape[0])
+    mesh = _dp_shard_mesh(x.shape[0], quiet_tp=True)
     if mesh is not None:
         return fused_attn_part_sharded(x, ap, num_heads, eps, mesh)
+    tpm = _tp_shard_mesh(x.shape[0], heads=num_heads)
+    if tpm is not None:
+        return attn_part_tp(x, ap, num_heads, eps, tpm)
     return attn_part_math(x, ap, num_heads=num_heads, eps=eps)
 
 
@@ -1053,9 +1398,12 @@ def dispatch_mlp_part(
     platform, n_devices = _dispatch_target()
     if n_devices == 1:
         return fused_mlp_part(x2, mp, eps, assume_frozen_weights)
-    mesh = _dp_shard_mesh(x2.shape[0])
+    mesh = _dp_shard_mesh(x2.shape[0], quiet_tp=True)
     if mesh is not None:
         return fused_mlp_part_sharded(x2, mp, eps, assume_frozen_weights, mesh)
+    tpm = _tp_shard_mesh(x2.shape[0], hidden=x2.shape[-1])
+    if tpm is not None:
+        return mlp_part_tp(x2, mp, eps, assume_frozen_weights, tpm)
     return mlp_part_math(x2, mp, eps=eps)
 
 
@@ -1074,10 +1422,38 @@ def dispatch_mlp_part(
 # kernel so the LoRA adapter's cotangent path stays in Pallas.
 # ---------------------------------------------------------------------------
 
-_STREAM_VMEM_BUDGET = 12 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit is 16 MiB; every pipelined block is
+# DOUBLE-buffered (next block prefetches while the current one computes),
+# so streamed weights and (g, Sp, D) activation blocks count twice, while
+# scratch and in-kernel temporaries count once. The size models below are
+# calibrated against two hardware compiler reports (estimate ~1.15x the
+# reported scoped allocation, so a 16 MiB budget keeps real usage < 14.5):
+#   - fwd  f32 D=768  (g=1, bh=1024): reported 17.12 MiB, model 20.4 MiB
+#   - dx   bf16 D=1024 (g=2, bh=512): reported 18.89 MiB, model 21.5 MiB
+# The dx kernel streams one extra (g, Sp, D) input (dy) and carries more
+# f32 temporaries, so it gets its OWN plan — forward and backward
+# pallas_calls do not need matching grids.
+_STREAM_VMEM_BUDGET = 16 * 1024 * 1024
 
 
-def _stream_mlp_plan(sp: int, d: int, itemsize: int, batch: int):
+def _stream_mlp_bytes(
+    g: int, bh: int, sp: int, d: int, itemsize: int, dx: bool = False
+) -> int:
+    """Scoped-VMEM bytes model for a streaming-MLP plan.
+
+    Forward: 2x-buffered x2 + y, LN scratch (itemsize) + f32 accumulator +
+    f32 LN temp, the (g*Sp, bh) hidden block in native + f32 precision, and
+    2x-buffered fc1/fc2 blocks. The dx variant adds the 2x-buffered dy
+    stream, its f32 upcast, and a second f32 hidden-block temporary."""
+    i = itemsize
+    per_elem = (7 * i + 12) if dx else (5 * i + 8)
+    per_hidden = (2 * i + 8) if dx else (i + 4)
+    acts = g * sp * d * per_elem + g * sp * bh * per_hidden
+    weights = 4 * d * bh * i
+    return acts + weights
+
+
+def _stream_mlp_plan(sp: int, d: int, itemsize: int, batch: int, dx: bool = False):
     """(rows_per_program g, hidden block bh) for the streaming MLP kernel,
     or None when nothing fits. Larger g amortises weight re-reads; larger bh
     means fewer (bigger) MXU calls per block."""
@@ -1088,9 +1464,7 @@ def _stream_mlp_plan(sp: int, d: int, itemsize: int, batch: int):
         for bh in (2048, 1024, 512, 256):
             if hidden % bh:
                 continue
-            acts = g * sp * (3 * d * itemsize + 4 * d + bh * itemsize + bh * 4)
-            weights = 2 * d * bh * itemsize
-            if acts + weights <= _STREAM_VMEM_BUDGET:
+            if _stream_mlp_bytes(g, bh, sp, d, itemsize, dx) <= _STREAM_VMEM_BUDGET:
                 return g, bh
     return None
 
@@ -1116,12 +1490,23 @@ def _stream_attn_plan(
     for g in (8, 4, 2, 1):
         if batch % g:
             continue
-        acts = g * sp * (3 * d * itemsize + 4 * d) + g * sp * sp * 4 \
-            + 6 * g * sp * hpb * dh * itemsize
-        weights = 4 * d * hpb * dh * itemsize
-        if acts + weights <= _STREAM_VMEM_BUDGET:
+        if _stream_attn_bytes(g, hpb, sp, d, dh, itemsize) <= _STREAM_VMEM_BUDGET:
             return g, hpb
     return None
+
+
+def _stream_attn_bytes(
+    g: int, hpb: int, sp: int, d: int, dh: int, itemsize: int
+) -> int:
+    """Worst-case scoped-VMEM bytes for a streaming-attention plan:
+    2x-buffered x + o, LN scratch + f32 accumulator, f32 score tile,
+    q/k/v/ctx group temporaries, 2x-buffered qkv-column + out-row weight
+    slices (see _stream_mlp_bytes for the buffering model)."""
+    gw = hpb * dh
+    acts = g * sp * d * (5 * itemsize + 8) + g * sp * sp * 4 \
+        + 8 * g * sp * gw * itemsize
+    weights = 8 * d * gw * itemsize
+    return acts + weights
 
 
 def _mlp_stream_kernel(
@@ -1327,7 +1712,10 @@ def _mlp_stream_bwd(eps, assume_frozen_weights, residuals, dy):
     pad = [(0, 0), (0, sp - s), (0, 0)]
     x2p = jnp.pad(x2, pad) if sp != s else x2
     dyp = jnp.pad(dy, pad) if sp != s else dy
-    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b)
+    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b, dx=True)
+    if plan is None:  # no streaming dx plan: exact unfused fallback
+        _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
+        return vjp(dy)
     g, bh = plan
     names = ["g2", "b2", "w1", "bf1", "w2", "ls2"]
     dx2p = _mlp_stream_call(
@@ -1473,34 +1861,61 @@ def stream_fused_enabled(
 
 
 def parts_fused_enabled(
-    hidden_size: int, seq_len: int = 257, itemsize: int = 2
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2,
+    num_heads: int | None = None,
 ) -> bool:
     """Dispatch for SPLIT-kernel fusion of big backbones (dinov2-base/
     large): the monolithic block kernel needs all 12 D^2 weights in VMEM,
     but each half fits on its own up to D ~= 768. The halves pay one extra
     activation round-trip (the LayerScale+residual between them runs in
     XLA), so the monolithic kernel stays preferred when it fits.
-    """
+
+    On a tensor-parallel ('model' axis tp > 1) mesh the halves run
+    per-shard on Megatron weight slices with a psum stitch
+    (:func:`attn_part_tp` / :func:`mlp_part_tp`) — the weight working set
+    divides by tp, so e.g. dinov2-large's halves (too big resident on one
+    chip, hence the streaming kernels) fit RESIDENT per shard at tp >= 2.
+    Requires ``num_heads`` (for the head split) — callers that cannot
+    provide it stay on the single-device/pure-DP criterion.
+
+    ``DINO_POSE_TPU_BLOCK=unfused|xla`` disables, ``=parts`` forces (test
+    hook; interpret mode off-TPU)."""
     import os
 
     override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
     if override in ("unfused", "xla"):
         return False
-    platform, n_devices = _dispatch_target()
-    if platform != "tpu":
-        return False
-    if n_devices > 1 and not _pure_dp_mesh(n_devices):
-        return False
+    tp = 1
+    if override != "parts":
+        platform, n_devices = _dispatch_target()
+        if platform != "tpu":
+            return False
+        if n_devices > 1 and not _pure_dp_mesh(n_devices):
+            tp = _tp_axis_size(n_devices)
+            if tp is None or num_heads is None or num_heads % tp:
+                return False
     d = hidden_size
     sp = -(-seq_len // 8) * 8
     i = itemsize  # f32 tracing (e.g. model init) doubles the working set
     # FORWARD working sets only — this dispatch serves frozen/inference
     # layers whose backward is never built. Attention half: qkv+out weights
-    # (8 D^2), one row's activation chain, per-head f32 score tile.
-    # MLP half: fc1+fc2 weights, one live (Sp, 4D) hidden tensor.
-    attn = 8 * d * d * i + 7 * sp * d * i + 2 * sp * sp * 4
-    mlp = 8 * d * d * i + 3 * sp * d * i + sp * 4 * d * i
+    # (8 D^2, / tp per shard), one row's activation chain, per-head f32
+    # score tile. MLP half: fc1+fc2 weights (/ tp), one live (Sp, 4D/tp)
+    # hidden tensor.
+    attn = 8 * d * d * i // tp + 7 * sp * d * i + 2 * sp * sp * 4
+    mlp = 8 * d * d * i // tp + 3 * sp * d * i + sp * 4 * d * i // tp
     return max(attn, mlp) <= 13 * 1024 * 1024
+
+
+def _tp_axis_size(n_devices: int) -> int | None:
+    """'model' axis size of the trace-target mesh, or None if no mesh of
+    ``n_devices`` is configured."""
+    from dino_pose_tpu.ops.dispatch import target_mesh
+
+    mesh = target_mesh()
+    if mesh is None or mesh.devices.size != n_devices:
+        return None
+    return mesh.shape.get("model", 1)
 
 
 def fused_block_sharded(

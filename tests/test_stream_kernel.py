@@ -112,6 +112,20 @@ def test_stream_plans_and_gate():
     assert (hpb * 64) % 128 == 0  # Mosaic lane-dimension constraint
     # On the CPU test backend the gate is off unless forced.
     assert not stream_fused_enabled(1024, 257, 2, 16)
+
+    # Regression (hardware VMEM OOM): an f32 trace of dinov2-base model init
+    # (batch=1, D=768) engaged the streaming MLP kernel with plan
+    # (g=1, bh=1024), whose scoped allocation measured 17.12 MiB against
+    # Mosaic's 16 MiB stack limit — the old size model ignored the 2x
+    # pipeline double-buffering of streamed blocks. The planner must reject
+    # that configuration now, yet still return SOME plan for the init
+    # shapes so dispatch does not dead-end.
+    from dino_pose_tpu.ops.block import _stream_mlp_bytes
+
+    assert _stream_mlp_bytes(1, 1024, 264, 768, 4) > 16 * 1024 * 1024
+    for d, heads in ((768, 12), (1024, 16)):
+        assert _stream_mlp_plan(sp, d, 4, 1) is not None
+        assert _stream_attn_plan(sp, d, 64, 4, 1, heads) is not None
     import os
 
     os.environ["DINO_POSE_TPU_BLOCK"] = "stream"
