@@ -443,6 +443,12 @@ def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
     return 0
 
 
+def _part_g_override() -> int:
+    """Probe hook: force rows-per-program for the split-half FORWARD
+    kernels (``DINO_POSE_TPU_PART_G``). 0 = use the computed default."""
+    return int(os.environ.get("DINO_POSE_TPU_PART_G", "0") or 0)
+
+
 _FWD_VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -1105,7 +1111,7 @@ def fused_attn_part(x: Array, ap: AttnParams, num_heads: int, eps: float) -> Arr
     (never pulled when everything below the adapter is frozen)."""
     b, s, d = x.shape
     xp, args, sp = _prep_block_args(x, ap, list(AttnParams._fields))
-    g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
+    g = max(_rows_per_program(sp, d, x.dtype.itemsize), _part_g_override(), 1)
     while b % g:
         g //= 2
     out = _part_call(
@@ -1147,7 +1153,7 @@ def fused_mlp_part(
     dinov2_pose.py:176-204 semantics). dx2 is exact either way."""
     b, s, d = x2.shape
     x2p, args, sp = _prep_block_args(x2, mp, list(MlpParams._fields))
-    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), 1)
+    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), _part_g_override(), 1)
     while b % g:
         g //= 2
     out = _part_call(

@@ -111,6 +111,10 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="/tmp/accuracy_trajectory")
     ap.add_argument("--data", default=None, help="reuse an existing dataset dir")
+    ap.add_argument(
+        "--model", default="facebook/dinov2-small",
+        help="backbone (e.g. timm/fastvit_t8.apple_in1k for the FastViT family)",
+    )
     args = ap.parse_args()
 
     data_dir = args.data or os.path.join(args.out, "data")
@@ -148,8 +152,10 @@ def main() -> None:
         # epoch 71 with PCKh stuck at 0.17).
         min_lr=args.lr,
     )
-    # Flagship: dinov2-small + LoRA r=8 (reference config/config.py defaults).
-    config_model.update(model_name="facebook/dinov2-small")
+    # Flagship default: dinov2-small + LoRA r=8 (reference config/config.py
+    # defaults); --model runs the same protocol on any registered backbone
+    # (used for the FastViT-family hardware validation, docs/accuracy_r3/).
+    config_model.update(model_name=args.model)
 
     history = fit(
         config_dataset, config_training, config_preproc, config_model,
