@@ -32,6 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dino_pose_tpu.models import fastvit_fold as F
 from dino_pose_tpu.nn import layers as L
 from dino_pose_tpu.ops.attention import attention as fused_attention
 
@@ -126,7 +127,9 @@ class MobileOneBlock(nn.Module):
     num_conv_branches: int = 1
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, *, train: bool, return_fold: bool = False):
+        if F.fold_enabled() or return_fold:
+            return self._folded(x, train=train, return_fold=return_fold)
         k, s = self.kernel_size, self.strides
         in_ch = x.shape[-1]
         out = 0.0
@@ -149,6 +152,110 @@ class MobileOneBlock(nn.Module):
             out = SEBlock(name="se")(out)
         return nn.gelu(out, approximate=False) if self.use_act else out
 
+    def _folded(self, x: Array, *, train: bool, return_fold: bool):
+        """Train-time reparameterisation fold (fastvit_fold module docstring):
+        per-branch batch statistics -> one equivalent kxk conv. Identical
+        parameter tree and (to fp tolerance) identical function; with
+        ``return_fold`` the folded (kernel, bias) is returned unapplied so a
+        parent (RepMixer) can merge further."""
+        k, s = self.kernel_size, self.strides
+        in_ch = x.shape[-1]
+        in_g = in_ch // self.groups
+        kf = jnp.zeros((k, k, in_g, self.features), jnp.float32)
+        bf = jnp.zeros((self.features,), jnp.float32)
+        pad_c = (k // 2, k - 1 - k // 2)
+
+        for b in range(self.num_conv_branches):
+            kern = F.ConvParams(
+                self.features, (k, k), self.groups, name=f"conv{b}"
+            )(in_ch)
+            bn = F.BNAffine(self.features, name=f"conv{b}_bn")
+            if train:
+                y = jax.lax.conv_general_dilated(
+                    x, kern.astype(x.dtype), window_strides=(s, s),
+                    padding=[(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups,
+                )
+                mean, var, n = F.branch_stats(y)
+                inv, shift = bn(mean, var, n, train=True)
+            else:
+                inv, shift = bn(train=False)
+            kf = kf + kern.astype(jnp.float32) * inv
+            bf = bf + shift
+
+        if self.use_scale_branch and k > 1:
+            skern = F.ConvParams(
+                self.features, (1, 1), self.groups, name="scale"
+            )(in_ch)
+            sbn = F.BNAffine(self.features, name="scale_bn")
+            if train:
+                mult = self.features // self.groups
+                if in_g == 1:
+                    # Depthwise(-multiplier) 1x1: per-channel scalar, so the
+                    # branch statistics are exact functions of x's moments.
+                    mx, m2x, n = F.channel_moments(x, (s, s))
+                    svec = skern[0, 0, 0, :].astype(jnp.float32)
+                    mean = svec * jnp.repeat(mx, mult)
+                    var = jnp.square(svec) * jnp.repeat(m2x, mult) - jnp.square(mean)
+                elif self.groups == 1 and in_ch <= 8:
+                    # Dense 1x1 over few channels (stem0's RGB input): second
+                    # moments via one tiny gram matrix on the strided grid.
+                    xs = x[:, ::s, ::s, :].astype(jnp.float32)
+                    flat = xs.reshape(-1, in_ch)
+                    n = flat.shape[0]
+                    mu = jnp.mean(flat, axis=0)
+                    gram = flat.T @ flat / n
+                    w = skern[0, 0].astype(jnp.float32)
+                    mean = mu @ w
+                    var = jnp.einsum("co,do,cd->o", w, w, gram) - jnp.square(mean)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        x, skern.astype(x.dtype), window_strides=(s, s),
+                        padding=[(0, 0)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=self.groups,
+                    )
+                    mean, var, n = F.branch_stats(y)
+                inv, shift = sbn(mean, var, n, train=True)
+            else:
+                inv, shift = sbn(train=False)
+            kf = kf + jnp.pad(
+                skern.astype(jnp.float32) * inv,
+                (pad_c, pad_c, (0, 0), (0, 0)),
+            )
+            bf = bf + shift
+
+        has_skip = in_ch == self.features and s == 1
+        if has_skip:
+            ibn = F.BNAffine(self.features, name="skip_bn")
+            if train:
+                mx, m2x, n = F.channel_moments(x)
+                inv, shift = ibn(mx, m2x - jnp.square(mx), n, train=True)
+            else:
+                inv, shift = ibn(train=False)
+            ident = jnp.asarray(F._center_identity(k, k, in_g, self.features))
+            kf = kf + ident * inv
+            bf = bf + shift
+
+        if return_fold:
+            return kf, bf
+        if (
+            has_skip
+            and self.num_conv_branches == 0
+            and not (self.use_scale_branch and k > 1)
+        ):
+            # Pure-affine block (identity BN only): no conv needed.
+            out = (x.astype(jnp.float32) * inv + shift).astype(x.dtype)
+        else:
+            out = F.apply_folded(
+                x, kf, bf, strides=(s, s), padding=(k // 2, k // 2),
+                feature_group_count=self.groups,
+            )
+        if self.use_se:
+            out = SEBlock(name="se")(out)
+        return nn.gelu(out, approximate=False) if self.use_act else out
+
 
 class ReparamLargeKernelConv(nn.Module):
     """Large-kernel depthwise conv with a parallel small-kernel branch."""
@@ -163,13 +270,44 @@ class ReparamLargeKernelConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         k, s = self.kernel_size, self.strides
+        sk = self.small_kernel
+        if F.fold_enabled():
+            in_ch = x.shape[-1]
+            in_g = in_ch // self.groups
+            kf = jnp.zeros((k, k, in_g, self.features), jnp.float32)
+            bf = jnp.zeros((self.features,), jnp.float32)
+            for name, bk in (("large", k), ("small", sk)):
+                kern = F.ConvParams(
+                    self.features, (bk, bk), self.groups, name=name
+                )(in_ch)
+                bn = F.BNAffine(self.features, name=f"{name}_bn")
+                if train:
+                    y = jax.lax.conv_general_dilated(
+                        x, kern.astype(x.dtype), window_strides=(s, s),
+                        padding=[(bk // 2, bk // 2)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=self.groups,
+                    )
+                    mean, var, n = F.branch_stats(y)
+                    inv, shift = bn(mean, var, n, train=True)
+                else:
+                    inv, shift = bn(train=False)
+                pad = ((k - bk) // 2, (k - bk) - (k - bk) // 2)
+                kf = kf + jnp.pad(
+                    kern.astype(jnp.float32) * inv, (pad, pad, (0, 0), (0, 0))
+                )
+                bf = bf + shift
+            out = F.apply_folded(
+                x, kf, bf, strides=(s, s), padding=(k // 2, k // 2),
+                feature_group_count=self.groups,
+            )
+            return nn.gelu(out, approximate=False) if self.use_act else out
         y = L.Conv(
             self.features, kernel_size=(k, k), strides=(s, s),
             padding=(k // 2, k // 2), feature_group_count=self.groups,
             use_bias=False, name="large",
         )(x)
         out = L.BatchNorm(name="large_bn")(y, use_running_average=not train)
-        sk = self.small_kernel
         y = L.Conv(
             self.features, kernel_size=(sk, sk), strides=(s, s),
             padding=(sk // 2, sk // 2), feature_group_count=self.groups,
@@ -216,10 +354,30 @@ class ConvLoRA(nn.Module):
     dropout: float
 
     @nn.compact
-    def __call__(self, x: Array, out_features: int, *, deterministic: bool) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        out_features: int,
+        *,
+        deterministic: bool,
+        in_affine: tuple[Array, Array] | None = None,
+    ) -> Array:
         # Reference order (lora.py:112-120): A -> Dropout2d (whole rank
         # channels) -> B -> scale.
-        y = L.Conv(self.rank, kernel_size=(1, 1), use_bias=False, name="lora_A")(x)
+        if in_affine is not None:
+            # x is the PRE-affine tensor; fold the per-channel (inv, shift)
+            # of the preceding BatchNorm into lora_A so the normalised
+            # activation is never materialised: A(x*inv + shift) =
+            # conv(x, A*inv) + shift @ A.
+            inv, shift = in_affine
+            ak = F.ConvParams(self.rank, (1, 1), name="lora_A")(x.shape[-1])
+            y = F.apply_folded(
+                x, ak.astype(jnp.float32) * inv[:, None],
+                shift @ ak[0, 0].astype(jnp.float32),
+                strides=(1, 1), padding=(0, 0),
+            )
+        else:
+            y = L.Conv(self.rank, kernel_size=(1, 1), use_bias=False, name="lora_A")(x)
         y = L.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
             y, deterministic=deterministic
         )
@@ -245,12 +403,38 @@ class ConvFFN(nn.Module):
             c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
             use_bias=False, name="conv",
         )(x)
-        y = L.BatchNorm(name="conv_bn")(y, use_running_average=not train)
-        h = L.Conv(self.hidden, kernel_size=(1, 1), name="fc1")(y)
-        if self.lora_rank > 0:
-            h = h + ConvLoRA(
-                self.lora_rank, self.lora_alpha, self.lora_dropout, name="fc1_lora"
-            )(y, self.hidden, deterministic=not train)
+        if F.fold_enabled():
+            # Fold the post-depthwise BN affine into the fc1 1x1 kernel (and
+            # the LoRA A via in_affine): fc1(y*inv + shift) =
+            # conv(y, K*inv) + (b + shift @ K). The normalised activation is
+            # never materialised — one fewer elementwise pass over (B,H,W,C).
+            bn = F.BNAffine(c, name="conv_bn")
+            if train:
+                my, m2y, n = F.channel_moments(y)
+                inv, shift = bn(my, m2y - jnp.square(my), n, train=True)
+            else:
+                inv, shift = bn(train=False)
+            k1, b1 = F.DenseConvParams(self.hidden, (1, 1), name="fc1")(c)
+            k1f = k1[0, 0].astype(jnp.float32)
+            h = F.apply_folded(
+                y, k1.astype(jnp.float32) * inv[:, None],
+                b1.astype(jnp.float32) + shift @ k1f,
+                strides=(1, 1), padding=(0, 0),
+            )
+            if self.lora_rank > 0:
+                h = h + ConvLoRA(
+                    self.lora_rank, self.lora_alpha, self.lora_dropout,
+                    name="fc1_lora",
+                )(y, self.hidden, deterministic=not train,
+                  in_affine=(inv, shift))
+        else:
+            y = L.BatchNorm(name="conv_bn")(y, use_running_average=not train)
+            h = L.Conv(self.hidden, kernel_size=(1, 1), name="fc1")(y)
+            if self.lora_rank > 0:
+                h = h + ConvLoRA(
+                    self.lora_rank, self.lora_alpha, self.lora_dropout,
+                    name="fc1_lora",
+                )(y, self.hidden, deterministic=not train)
         h = nn.gelu(h, approximate=False)
         out = L.Conv(c, kernel_size=(1, 1), name="fc2")(h)
         if self.lora_rank > 0:
@@ -269,6 +453,28 @@ class RepMixer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         c = x.shape[-1]
+        if F.fold_enabled():
+            # Whole-mixer fold: out = x + ls*(mixer(x) - norm(x)) with both
+            # children folded to (kernel, bias) collapses to ONE depthwise
+            # 3x3 conv — K = ls*(Km - Kn) + ident, b = ls*(bm - bn).
+            km, bm = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False, name="mixer"
+            )(x, train=train, return_fold=True)
+            kn, bn_ = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False,
+                use_scale_branch=False, num_conv_branches=0, name="norm",
+            )(x, train=train, return_fold=True)
+            ls = self.param(
+                "layer_scale", nn.initializers.constant(self.layer_scale_init), (c,)
+            )
+            lsf = ls.astype(jnp.float32)
+            ident = jnp.asarray(F._center_identity(3, 3, 1, c))
+            k_tot = lsf * (km - kn) + ident
+            b_tot = lsf * (bm - bn_)
+            return F.apply_folded(
+                x, k_tot, b_tot, strides=(1, 1), padding=(1, 1),
+                feature_group_count=c,
+            )
         mixed = MobileOneBlock(
             c, kernel_size=3, groups=c, use_act=False, name="mixer"
         )(x, train=train)
@@ -291,9 +497,26 @@ class SpatialAttention(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         b, h, w, c = x.shape
         num_heads = max(1, c // self.head_dim)
-        y = L.BatchNorm(name="norm")(x, use_running_average=not train)
-        t = y.reshape(b, h * w, c)
-        qkv = L.Dense(3 * c, use_bias=False, name="qkv")(t)
+        if F.fold_enabled():
+            # Pre-norm fold: BN(x) @ W = x @ (inv[:, None] * W) + shift @ W.
+            # Train-mode statistics are exact channel moments of x, so the
+            # normalised tensor never hits HBM.
+            bn = F.BNAffine(c, name="norm")
+            if train:
+                mx, m2x, n = F.channel_moments(x)
+                inv, shift = bn(mx, m2x - jnp.square(mx), n, train=True)
+            else:
+                inv, shift = bn(train=False)
+            wq = F.DenseParams(3 * c, name="qkv")(c)
+            t = x.reshape(b, h * w, c)
+            qkv = (
+                t @ (inv[:, None] * wq.astype(jnp.float32)).astype(t.dtype)
+                + (shift @ wq.astype(jnp.float32)).astype(t.dtype)
+            )
+        else:
+            y = L.BatchNorm(name="norm")(x, use_running_average=not train)
+            t = y.reshape(b, h * w, c)
+            qkv = L.Dense(3 * c, use_bias=False, name="qkv")(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):

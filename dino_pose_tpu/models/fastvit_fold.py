@@ -1,0 +1,210 @@
+"""Train-time structural reparameterisation folding for FastViT blocks.
+
+The multi-branch MobileOne blocks (/root/reference's timm FastViT trains
+them in branch form: kxk conv + BN, 1x1 scale + BN, identity BN) are the
+dominant cost of the FastViT train step on TPU: the round-3 device trace
+(PERFORMANCE.md "FastViT on the TPU") shows a long tail of per-branch
+conv/BatchNorm fusions, each a separate HBM round trip.
+
+Key algebra: BatchNorm *with batch statistics* is still an affine map of
+its input once (mu, var) are known — exactly the deploy-time fusion
+(``fuse_mobileone_params``) but with data-dependent statistics computed in
+the same step. So a train-mode multi-branch block collapses to
+
+    1. one real conv per kxk branch, used ONLY for its batch statistics
+       (scale/identity branch statistics come from per-channel moments of
+       the input — no materialised branch output at all);
+    2. a tiny per-channel fold of every branch's (kernel, BN affine) into
+       ONE equivalent kxk kernel + bias;
+    3. a single folded conv that produces the block output.
+
+This is a pure-XLA restructuring — mathematically the same function, so
+autodiff gives the same gradients — that removes the per-branch BN-apply
+and branch-sum passes over stem/stage-resolution activations. In eval
+mode (running statistics) step 1 disappears entirely and every MobileOne
+block becomes exactly one conv, without the explicit deploy-time
+parameter transform.
+
+Parameter trees are unchanged: the param holders below reproduce
+``nn.layers.Conv`` / ``nn.layers.BatchNorm`` names, shapes and
+initialisers, so checkpoints and the torch bridge are unaffected.
+
+Gate: ``DINO_POSE_TPU_FASTVIT_FOLD`` (default on; set ``0`` to force the
+reference branch-form math).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_pose_tpu.nn.layers import (
+    _conv_fan_in,
+    _dense_fan_in,
+    torch_kaiming_uniform,
+    uniform_bound,
+)
+
+Array = jax.Array
+
+
+def fold_enabled() -> bool:
+    return os.environ.get("DINO_POSE_TPU_FASTVIT_FOLD", "1") != "0"
+
+
+class ConvParams(nn.Module):
+    """Kernel-only param holder matching ``nn.layers.Conv`` (name 'kernel',
+    torch kaiming-uniform init, HWIO layout)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Array:
+        kh, kw = self.kernel_size
+        shape = (kh, kw, in_features // self.feature_group_count, self.features)
+        return self.param("kernel", torch_kaiming_uniform(_conv_fan_in), shape)
+
+
+class DenseConvParams(nn.Module):
+    """Kernel+bias holder matching a biased ``nn.layers.Conv``."""
+
+    features: int
+    kernel_size: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, in_features: int) -> tuple[Array, Array]:
+        kh, kw = self.kernel_size
+        shape = (kh, kw, in_features, self.features)
+        kernel = self.param("kernel", torch_kaiming_uniform(_conv_fan_in), shape)
+        fan_in = max(1, kh * kw * in_features)
+        bias = self.param(
+            "bias", uniform_bound(1.0 / math.sqrt(fan_in)), (self.features,)
+        )
+        return kernel, bias
+
+
+class DenseParams(nn.Module):
+    """Kernel-only param holder matching a bias-free ``nn.layers.Dense``
+    (name 'kernel', torch kaiming-uniform init, (in, out) layout)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Array:
+        return self.param(
+            "kernel",
+            torch_kaiming_uniform(_dense_fan_in),
+            (in_features, self.features),
+        )
+
+
+class BNAffine(nn.Module):
+    """BatchNorm param/stat holder returning the affine (inv, shift) such
+    that ``BN(y) = y * inv + shift``.
+
+    Matches ``nn.layers.BatchNorm`` semantics exactly: biased batch
+    variance for normalisation, unbiased for the running update, momentum
+    0.1, float32 statistics, running stats in 'batch_stats'. In train mode
+    the caller supplies the branch output's batch (mean, var) and the
+    reduction count ``n``; in eval mode the running statistics are used.
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        batch_mean: Array | None = None,
+        batch_var: Array | None = None,
+        n: int | None = None,
+        *,
+        train: bool,
+    ) -> tuple[Array, Array]:
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        if train:
+            mean, var = batch_mean, batch_var
+            unbiased = var * (n / max(1, n - 1))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    1 - self.momentum
+                ) * ra_mean.value + self.momentum * mean
+                ra_var.value = (
+                    1 - self.momentum
+                ) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return inv, bias - mean * inv
+
+
+def channel_moments(x: Array, strides: tuple[int, int] = (1, 1)):
+    """Per-channel f32 (mean, mean-of-square, count) over N,H,W — on the
+    branch's *output* grid, i.e. the stride-sampled positions."""
+    sh, sw = strides
+    if (sh, sw) != (1, 1):
+        x = x[:, ::sh, ::sw, :]
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(0, 1, 2))
+    m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+    return m, m2, x.shape[0] * x.shape[1] * x.shape[2]
+
+
+def branch_stats(y: Array):
+    """f32 (mean, biased var, count) of a materialised branch output."""
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+    return mean, var, y.shape[0] * y.shape[1] * y.shape[2]
+
+
+def _center_identity(kh: int, kw: int, in_g: int, features: int) -> np.ndarray:
+    """Static centred-dirac mask: identity branch as a kxk grouped kernel
+    (mirrors fuse_mobileone_params' construction)."""
+    ident = np.zeros((kh, kw, in_g, features), np.float32)
+    for o in range(features):
+        ident[kh // 2, kw // 2, o % in_g, o] = 1.0
+    return ident
+
+
+def fold_conv_branch(kernel: Array, inv: Array, shift: Array):
+    """(conv kernel, BN affine) -> folded (kernel, bias), f32."""
+    return kernel.astype(jnp.float32) * inv, shift
+
+
+def apply_folded(
+    x: Array,
+    kernel_f32: Array,
+    bias_f32: Array,
+    *,
+    strides: tuple[int, int],
+    padding: tuple[int, int],
+    feature_group_count: int = 1,
+) -> Array:
+    """One conv with the folded kernel; compute dtype follows x."""
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel_f32.astype(x.dtype),
+        window_strides=strides,
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+    )
+    return y + bias_f32.astype(y.dtype)

@@ -1,0 +1,118 @@
+"""Train-time reparameterisation fold parity (models/fastvit_fold.py).
+
+The fold is the same function as the branch-form math rearranged (BN with
+known batch statistics is affine), so outputs, gradients, and running-stat
+updates must match the unfused modules to fp tolerance — in BOTH modes,
+with the SAME parameter tree.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dino_pose_tpu.models.fastvit import (
+    ConvFFN,
+    MobileOneBlock,
+    ReparamLargeKernelConv,
+    RepMixer,
+    SpatialAttention,
+)
+
+
+def _init_and_apply(module, x, *, train, fold, seed=0):
+    os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "1" if fold else "0"
+    try:
+        variables = module.init(jax.random.key(seed), x, train=False)
+        if train:
+            out, mut = module.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return variables, out, mut["batch_stats"]
+        return variables, module.apply(variables, x, train=False), None
+    finally:
+        os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+
+
+CASES = [
+    # (module, x_shape) — every branch combination FastViT instantiates
+    (MobileOneBlock(16, 3, strides=1, groups=16), (2, 10, 10, 16)),  # dw+scale+skip
+    (MobileOneBlock(16, 3, strides=2, groups=16), (2, 10, 10, 16)),  # dw+scale, s2
+    (MobileOneBlock(8, 3, strides=2, groups=1), (2, 10, 10, 3)),  # stem0: dense scale
+    (MobileOneBlock(16, 1, strides=1, groups=1), (2, 10, 10, 16)),  # 1x1+skip
+    (MobileOneBlock(32, 3, strides=1, groups=16, use_se=True), (2, 8, 8, 16)),  # mult
+    (ReparamLargeKernelConv(24, 7, strides=2, groups=12, small_kernel=3),
+     (2, 12, 12, 12)),
+    (RepMixer(1e-2), (2, 10, 10, 16)),
+    (ConvFFN(hidden=48), (2, 8, 8, 16)),  # BN -> fc1 fold
+    (ConvFFN(hidden=48, lora_rank=4, lora_dropout=0.0), (2, 8, 8, 16)),
+    (SpatialAttention(head_dim=8), (2, 6, 6, 16)),  # pre-norm -> qkv fold
+]
+
+
+@pytest.mark.parametrize("module,shape", CASES, ids=lambda v: str(v)[:40])
+@pytest.mark.parametrize("train", [False, True], ids=["eval", "train"])
+def test_fold_matches_branch_math(module, shape, train):
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(shape), jnp.float32
+    )
+    v_fold, out_fold, bs_fold = _init_and_apply(module, x, train=train, fold=True)
+    v_ref, out_ref, bs_ref = _init_and_apply(module, x, train=train, fold=False)
+
+    # Identical parameter trees (names, shapes, values: same init RNG paths).
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_fold, v_ref,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fold), np.asarray(out_ref), atol=2e-4, rtol=1e-4
+    )
+    if train:
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            ),
+            bs_fold, bs_ref,
+        )
+
+
+def test_fold_gradients_match():
+    """dx and (trainable-relevant) parameter cotangents agree: the fold is
+    the same function, so autodiff must give the same derivatives."""
+    module = RepMixer(1e-2)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 8, 8, 16)), jnp.float32
+    )
+    os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "0"
+    try:
+        variables = module.init(jax.random.key(0), x, train=False)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+
+    def loss(fold, params, xin):
+        os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "1" if fold else "0"
+        try:
+            out, _ = module.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xin, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(jnp.square(out))
+        finally:
+            os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+
+    gp_f, gx_f = jax.grad(lambda p, xi: loss(True, p, xi), argnums=(0, 1))(
+        variables["params"], x
+    )
+    gp_r, gx_r = jax.grad(lambda p, xi: loss(False, p, xi), argnums=(0, 1))(
+        variables["params"], x
+    )
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-3, rtol=1e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3
+        ),
+        gp_f, gp_r,
+    )
