@@ -12,15 +12,18 @@ attention), the attention out-projection and fc2 shard their input features,
 so each block needs a single all-reduce per residual branch — inserted by XLA
 from these shardings; there is no hand-written communication code.
 
-FastViT deliberately has NO tensor-parallel rules — all its parameters fall
-through to replication. Decision: the largest production variant (ma36,
-~44M params, /root/reference/model/model_utils.py registry) fits one chip's
-HBM with room for bs=128 activations; its compute is dominated by spatial
-convolutions whose per-layer channel counts (48-1216) shard poorly over
-'model' (uneven tiles, halo exchanges for 7x7 depthwise kernels), and the
-arithmetic intensity lost to the extra collectives exceeds any memory win.
-FastViT scales over the 'data' axis only; revisit if a >300M-param conv
-backbone is ever registered.
+FastViT tensor parallelism shards only its matmul-shaped parameters: the
+ConvFFN 1x1 convs (fc1 output channels / fc2 input channels — pointwise, so
+no halo exchange) and the attention-stage qkv/proj Dense layers. Everything
+spatial — depthwise 3x3/7x7 branches, MobileOne stems, RepCPE, SE — stays
+replicated: those channel counts (8-1216) tile poorly over 'model' and a
+7x7 depthwise shard would need halo exchanges that cost more than the
+FLOPs they save. The ConvFFN carries most of FastViT's matmul FLOPs
+(mlp_ratio 3-4x at every stage), so this covers the MXU-bound fraction
+while the replicated spatial convs ride the 'data' axis. DP-only remains
+the recommended deployment below ~300M params (ma36 at ~44M fits one
+chip's HBM comfortably); the rules exist for capability parity and for
+activation-memory relief at large batch.
 """
 
 from __future__ import annotations
@@ -40,6 +43,28 @@ VIT_TP_RULES: list[tuple[str, P]] = [
     (r"fc1/bias$", P("model")),
     (r"fc2/kernel$", P("model", None)),
 ]
+
+# FastViT: 1x1 convs are matmuls with (1, 1, in, out) kernels — Megatron
+# column/row sharding lands on the trailing channel dims. Attention stages
+# use packed-qkv Dense layers. Depthwise/spatial convs fall through to
+# replication (see module docstring).
+FASTVIT_TP_RULES: list[tuple[str, P]] = [
+    (r"mlp/fc1/kernel$", P(None, None, None, "model")),
+    (r"mlp/fc1/bias$", P("model")),
+    (r"mlp/fc2/kernel$", P(None, None, "model", None)),
+    (r"attn/qkv/kernel$", P(None, "model")),
+    (r"attn/proj/kernel$", P("model", None)),
+]
+
+_FAMILY_RULES: dict[str, list[tuple[str, P]]] = {
+    "dinov2": VIT_TP_RULES,
+    "fastvit": FASTVIT_TP_RULES,
+}
+
+
+def tp_rules_for_family(family: str) -> list[tuple[str, P]]:
+    """Tensor-parallel rule table for a model family ('' spec = replicate)."""
+    return _FAMILY_RULES.get(family, [])
 
 
 def _path_str(path) -> str:
