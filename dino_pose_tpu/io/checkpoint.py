@@ -79,6 +79,18 @@ def _host(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+def snapshot_to_host(tree):
+    """One donation-safe host snapshot of a device tree.
+
+    Schedules every D2H copy first, then materialises — callers saving the
+    SAME state to several formats (msgpack + .pth) should snapshot once and
+    pass the numpy tree to each ``save_checkpoint``, whose internal
+    snapshot then degenerates to a free identity walk over numpy leaves.
+    """
+    _schedule_host_copies(tree)
+    return _host(tree)
+
+
 class AsyncCheckpointWriter:
     """Non-blocking checkpoint saves for the training loop.
 

@@ -211,13 +211,15 @@ class _LoraAttention(nn.Module):
         # up on fusion (round-2 advisor: LoRA previously consulted only the
         # monolithic budget and ran dinov2-base/large fully unfused).
         if fused_blocks_enabled(
-            d, x.shape[1], x.dtype.itemsize
+            d, x.shape[1], x.dtype.itemsize, mlp_hidden=d * cfg.mlp_ratio
         ) or parts_fused_enabled(
-            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
         ):
             o = dispatch_attn_part(x, ap, cfg.num_heads, cfg.layer_norm_eps)
         elif stream_fused_enabled(
-            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
         ):
             o = dispatch_attn_part_stream(
                 x, ap, cfg.num_heads, cfg.layer_norm_eps
@@ -307,7 +309,9 @@ class Block(nn.Module):
             (d,),
         )
         p = BlockParams(g1, b1, wqkv, bqkv, wo, bo, ls1, g2, b2, w1, bf1, w2, bf2, ls2)
-        if fused_blocks_enabled(d, x.shape[1], x.dtype.itemsize):
+        if fused_blocks_enabled(
+            d, x.shape[1], x.dtype.itemsize, mlp_hidden=d * cfg.mlp_ratio
+        ):
             if self.frozen or deterministic:
                 # Forward-only fused kernel: no gradient flows through a
                 # frozen/inference block's params; the fallback VJP (unfused
@@ -320,7 +324,8 @@ class Block(nn.Module):
                     x, p, cfg.num_heads, cfg.layer_norm_eps
                 )
         elif (self.frozen or deterministic) and parts_fused_enabled(
-            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
         ):
             # Big backbones (dinov2-base): the monolithic kernel's weights
             # exceed VMEM, but each half fits — fuse per half with the
@@ -331,7 +336,8 @@ class Block(nn.Module):
             mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
             return dispatch_mlp_part(x2, mp, cfg.layer_norm_eps)
         elif (self.frozen or deterministic) and stream_fused_enabled(
-            d, x.shape[1], x.dtype.itemsize, cfg.num_heads
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
         ):
             # dinov2-large: even one half's weights exceed VMEM; stream
             # weight blocks through while activations stay resident.
@@ -372,8 +378,11 @@ class Block(nn.Module):
         )
         mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
         if fused_blocks_enabled(
-            d, x.shape[1], x.dtype.itemsize
-        ) or parts_fused_enabled(d, x.shape[1], x.dtype.itemsize, cfg.num_heads):
+            d, x.shape[1], x.dtype.itemsize, mlp_hidden=d * cfg.mlp_ratio
+        ) or parts_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
+        ):
             # assume_frozen_weights: LoRA configs freeze the entire backbone
             # (reference dinov2_pose.py:176-204; enforced by
             # train/partition.trainable_mask), so the MLP half's backward
@@ -382,7 +391,10 @@ class Block(nn.Module):
             return dispatch_mlp_part(
                 x2, mp, cfg.layer_norm_eps, assume_frozen_weights=True
             )
-        if stream_fused_enabled(d, x.shape[1], x.dtype.itemsize, cfg.num_heads):
+        if stream_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio,
+        ):
             # dinov2-large: streaming MLP half; the adapter's cotangent flows
             # through the streaming activation-only dx kernel.
             return dispatch_mlp_part_stream(

@@ -1111,7 +1111,7 @@ def fused_attn_part(x: Array, ap: AttnParams, num_heads: int, eps: float) -> Arr
     (never pulled when everything below the adapter is frozen)."""
     b, s, d = x.shape
     xp, args, sp = _prep_block_args(x, ap, list(AttnParams._fields))
-    g = max(_rows_per_program(sp, d, x.dtype.itemsize), _part_g_override(), 1)
+    g = max(_part_g_override() or _rows_per_program(sp, d, x.dtype.itemsize), 1)
     while b % g:
         g //= 2
     out = _part_call(
@@ -1153,7 +1153,7 @@ def fused_mlp_part(
     dinov2_pose.py:176-204 semantics). dx2 is exact either way."""
     b, s, d = x2.shape
     x2p, args, sp = _prep_block_args(x2, mp, list(MlpParams._fields))
-    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), _part_g_override(), 1)
+    g = max(_part_g_override() or _rows_per_program(sp, d, x2.dtype.itemsize), 1)
     while b % g:
         g //= 2
     out = _part_call(
@@ -1175,7 +1175,7 @@ def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
     dyp = jnp.pad(dy, pad) if sp != s else dy
 
     if assume_frozen_weights:
-        if not _mlp_dx_fits(sp, d, x2.dtype.itemsize):
+        if not _mlp_dx_fits(sp, d, x2.dtype.itemsize, hidden=mp.w1.shape[-1]):
             # The resident dx kernel's working set exceeds scoped VMEM at
             # D >= 768; the STREAMING activation-only dx kernel computes the
             # identical backward (fused_mlp_part and fused_mlp_part_stream
@@ -1386,7 +1386,8 @@ def _tp_shard_mesh(batch: int, *, heads: int | None = None, hidden: int | None =
     """The ('data', 'model') mesh for tensor-parallel split-half dispatch,
     or None when the shapes do not divide (reason logged once). Attention
     callers pass ``heads`` (heads must divide over 'model'); MLP callers
-    pass ``hidden`` (the 4D hidden axis must divide)."""
+    pass ``hidden`` — the ACTUAL fc1 width (w1.shape[-1]), which must
+    divide over 'model' for the Megatron column/row split."""
     platform, n_devices = _dispatch_target()
     if n_devices <= 1:
         return None
@@ -1401,7 +1402,7 @@ def _tp_shard_mesh(batch: int, *, heads: int | None = None, hidden: int | None =
     dp = mesh.shape.get("data", 1)
     bad = batch % dp
     bad = bad or (heads is not None and heads % tp)
-    bad = bad or (hidden is not None and (4 * hidden) % tp)
+    bad = bad or (hidden is not None and hidden % tp)
     if bad:
         _warn_once(
             "fused TP halves downgraded to unfused math: "
@@ -1434,7 +1435,7 @@ def dispatch_mlp_part(
     mesh = _dp_shard_mesh(x2.shape[0], quiet_tp=True)
     if mesh is not None:
         return fused_mlp_part_sharded(x2, mp, eps, assume_frozen_weights, mesh)
-    tpm = _tp_shard_mesh(x2.shape[0], hidden=x2.shape[-1])
+    tpm = _tp_shard_mesh(x2.shape[0], hidden=mp.w1.shape[-1])
     if tpm is not None:
         return mlp_part_tp(x2, mp, eps, assume_frozen_weights, tpm)
     return mlp_part_math(x2, mp, eps=eps)
@@ -1486,11 +1487,15 @@ def _stream_mlp_bytes(
     return acts + weights
 
 
-def _stream_mlp_plan(sp: int, d: int, itemsize: int, batch: int, dx: bool = False):
+def _stream_mlp_plan(
+    sp: int, d: int, itemsize: int, batch: int, dx: bool = False,
+    hidden: int | None = None,
+):
     """(rows_per_program g, hidden block bh) for the streaming MLP kernel,
     or None when nothing fits. Larger g amortises weight re-reads; larger bh
-    means fewer (bigger) MXU calls per block."""
-    hidden = 4 * d
+    means fewer (bigger) MXU calls per block. ``hidden`` is the actual fc1
+    width (w1.shape[-1]); None assumes the DINOv2 ratio-4 default."""
+    hidden = 4 * d if hidden is None else hidden
     for g in (8, 4, 2, 1):
         if batch % g:
             continue
@@ -1670,7 +1675,7 @@ def _mlp_stream_call(kernel, extra_in, x2p, mp_names, mp, eps, g, bh, out_dtype)
     wdt = x2p.dtype
     w1 = mp.w1.astype(wdt)
     w2 = mp.w2.astype(wdt)
-    n_blocks = (4 * d) // bh
+    n_blocks = mp.w1.shape[-1] // bh  # actual hidden width, not 4*d
 
     xspec = pl.BlockSpec((g, sp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     vspec = lambda a: pl.BlockSpec(
@@ -1717,7 +1722,7 @@ def fused_mlp_part_stream(
     b, s, d = x2.shape
     sp = -(-s // 8) * 8
     x2p = jnp.pad(x2, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x2
-    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b)
+    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b, hidden=mp.w1.shape[-1])
     if plan is None:
         raise ValueError(
             f"no streaming MLP plan fits VMEM for (S={s}, D={d}); gate with "
@@ -1745,7 +1750,9 @@ def _mlp_stream_bwd(eps, assume_frozen_weights, residuals, dy):
     pad = [(0, 0), (0, sp - s), (0, 0)]
     x2p = jnp.pad(x2, pad) if sp != s else x2
     dyp = jnp.pad(dy, pad) if sp != s else dy
-    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b, dx=True)
+    plan = _stream_mlp_plan(
+        sp, d, x2.dtype.itemsize, b, dx=True, hidden=mp.w1.shape[-1]
+    )
     if plan is None:  # no streaming dx plan: exact unfused fallback
         _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
         return vjp(dy)
@@ -1864,7 +1871,8 @@ def dispatch_mlp_part_stream(
 
 
 def stream_fused_enabled(
-    hidden_size: int, seq_len: int = 257, itemsize: int = 2, num_heads: int = 16
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2, num_heads: int = 16,
+    mlp_hidden: int | None = None,
 ) -> bool:
     """Dispatch for the weight-STREAMING split kernels: engaged only when
     the whole-half kernels do not fit (``parts_fused_enabled`` is False —
@@ -1882,12 +1890,13 @@ def stream_fused_enabled(
             return False
         if n_devices > 1 and not _pure_dp_mesh(n_devices):
             return False
-        if parts_fused_enabled(hidden_size, seq_len, itemsize):
+        if parts_fused_enabled(hidden_size, seq_len, itemsize,
+                               mlp_hidden=mlp_hidden):
             return False  # whole-half kernels are strictly better when they fit
     d = hidden_size
     sp = -(-seq_len // 8) * 8
     return (
-        _stream_mlp_plan(sp, d, itemsize, 1) is not None
+        _stream_mlp_plan(sp, d, itemsize, 1, hidden=mlp_hidden) is not None
         and _stream_attn_plan(sp, d, d // num_heads, itemsize, 1, num_heads)
         is not None
     )
@@ -1895,7 +1904,7 @@ def stream_fused_enabled(
 
 def parts_fused_enabled(
     hidden_size: int, seq_len: int = 257, itemsize: int = 2,
-    num_heads: int | None = None,
+    num_heads: int | None = None, mlp_hidden: int | None = None,
 ) -> bool:
     """Dispatch for SPLIT-kernel fusion of big backbones (dinov2-base/
     large): the monolithic block kernel needs all 12 D^2 weights in VMEM,
@@ -1935,8 +1944,9 @@ def parts_fused_enabled(
     # (8 D^2, / tp per shard), one row's activation chain, per-head f32
     # score tile. MLP half: fc1+fc2 weights (/ tp), one live (Sp, 4D/tp)
     # hidden tensor.
+    h = 4 * d if mlp_hidden is None else mlp_hidden  # actual fc1 width
     attn = 8 * d * d * i // tp + 7 * sp * d * i + 2 * sp * sp * 4
-    mlp = 8 * d * d * i // tp + 3 * sp * d * i + sp * 4 * d * i // tp
+    mlp = 2 * d * h * i // tp + 3 * sp * d * i + sp * h * i // tp
     return max(attn, mlp) <= 13 * 1024 * 1024
 
 
@@ -1993,7 +2003,8 @@ def dispatch_block(x: Array, p: BlockParams, num_heads: int, eps: float) -> Arra
 
 
 def fused_blocks_enabled(
-    hidden_size: int, seq_len: int = 257, itemsize: int = 2
+    hidden_size: int, seq_len: int = 257, itemsize: int = 2,
+    mlp_hidden: int | None = None,
 ) -> bool:
     """Static dispatch: fused blocks on a TPU backend, small-enough shapes.
 
@@ -2019,6 +2030,11 @@ def fused_blocks_enabled(
         return False
     platform, n_devices = _dispatch_target()
     if platform != "tpu" or hidden_size > 512:
+        return False
+    if mlp_hidden is not None and mlp_hidden != 4 * hidden_size:
+        # The monolithic kernel family (incl. _grad_shapes and its VMEM
+        # models) is built for the DINOv2 ratio-4 MLP; other ratios route
+        # to the split/streaming dispatches, which read actual shapes.
         return False
     sp = -(-seq_len // 8) * 8
     if _rows_per_program(sp, hidden_size, itemsize) < 1:

@@ -37,6 +37,32 @@ def target_mesh():
     return _MESH
 
 
+def local():
+    """Context manager pinning the dispatch target to ONE local device.
+
+    Host-local computations (dataset eval, CLI inference) must not inherit
+    a multi-host training mesh: tracing their blocks through the global
+    ``shard_map`` would emit cross-process collectives and produce
+    non-addressable outputs for per-process inputs. Inside this scope the
+    kernels trace exactly as single-chip programs; the previous target is
+    restored on exit.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        global _DISPATCH, _MESH
+        prev = (_DISPATCH, _MESH)
+        _DISPATCH = (jax.local_devices()[0].platform, 1)
+        _MESH = None
+        try:
+            yield
+        finally:
+            _DISPATCH, _MESH = prev
+
+    return _scope()
+
+
 def scoped():
     """Context manager restoring the dispatch target on exit.
 

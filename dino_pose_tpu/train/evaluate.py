@@ -22,6 +22,7 @@ import numpy as np
 from dino_pose_tpu.data.coco import CocoPoseAnnotations, image_path
 from dino_pose_tpu.data.preprocess import create_preprocessor
 from dino_pose_tpu.models.pose import PoseModel
+from dino_pose_tpu.ops import dispatch
 from dino_pose_tpu.ops.decode import decode_heatmaps
 from dino_pose_tpu.train.metrics import pck_bbox, pckh_2d, pckh_z
 
@@ -75,7 +76,22 @@ def compute_pckh_dataset(
 
     coco = CocoPoseAnnotations(annotation_json_path)
     proc = create_preprocessor(model.model_name)
-    variables = jax.device_put(model.variables)  # ship params once, not per batch
+    # Re-home the variables onto ONE local device. During multi-host
+    # training the live state leaves are fully-replicated global-mesh
+    # arrays; feeding them to a jit alongside per-process batch data would
+    # either error (mixed device sets) or trace a cross-process program
+    # whose outputs this host cannot read. The replicated contract
+    # (train/loop.py in_shardings) makes np.asarray a pure local-shard read.
+    dev = jax.local_devices()[0]
+
+    def _localize(x):
+        if isinstance(x, jax.Array) and (
+            not x.is_fully_addressable or len(x.sharding.device_set) > 1
+        ):
+            x = np.asarray(x)
+        return jax.device_put(x, dev)
+
+    variables = jax.tree.map(_localize, model.variables)  # ship params once
 
     def load(idx: int):
         rec = coco[idx]
@@ -86,9 +102,14 @@ def compute_pckh_dataset(
     sums = {"pckh": 0.0, "pckh_z": 0.0, "pck_bbox": 0.0}
     n_total = len(coco)
     n_proc = jax.process_count()
-    # Strided slice: per-process counts differ by at most one image.
+    # Strided slice: per-process counts differ by at most one image, so
+    # per-process BATCH counts may differ too. That is safe only because
+    # the loop body is a purely local program — dispatch.local() below pins
+    # the kernels to one local device (no shard_map collectives), so no
+    # cross-process lockstep is required until the single allgather at the
+    # end, which every process reaches exactly once.
     indices = list(range(jax.process_index(), n_total, n_proc))
-    with cf.ThreadPoolExecutor(max(1, num_workers)) as pool:
+    with dispatch.local(), cf.ThreadPoolExecutor(max(1, num_workers)) as pool:
         for start in range(0, len(indices), batch_size):
             idxs = indices[start : start + batch_size]
             rows = list(pool.map(load, idxs))

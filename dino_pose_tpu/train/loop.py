@@ -213,7 +213,10 @@ def _fit(
             # replaces the state with the primary's resumed values.
             print("Checkpoint not on this host's filesystem; will receive "
                   "resumed state from the primary process.")
-            model = registry.create_model_from_config(config_model)
+            # pretrained=False: these weights are placeholders the broadcast
+            # below overwrites — don't probe the HF cache (absent on isolated
+            # workers) or spend a torch state-dict load for nothing.
+            model = registry.create_model_from_config(config_model, pretrained=False)
         else:
             model = ck.load_model_smart(load_path, eval_mode=False)
             resume_ckpt = ck.load_checkpoint(load_path)
@@ -445,6 +448,10 @@ def _save(base, model, state, epoch, train_loss, val_loss,
           async_writer=None):
     if not is_primary():  # one writer per multi-host job
         return
+    if async_writer is not None and export_pth and state is not None:
+        # Snapshot once: both format writes below would otherwise each drain
+        # a full device→host copy of params + opt_state on this thread.
+        state = ck.snapshot_to_host(state)
     kw = dict(
         state=state, epoch=epoch, train_loss=train_loss, valid_loss=val_loss,
         config_training=config_training, config_preproc=config_preproc,

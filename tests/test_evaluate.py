@@ -52,3 +52,39 @@ def test_compute_pckh_dataset(data):
     assert set(full) == {"pckh", "pckh_z", "pck_bbox"}
     assert full["pckh"] == pytest.approx(p2d, abs=1e-6)
     assert 0.0 <= full["pck_bbox"] <= 1.0
+
+
+def test_eval_localizes_mesh_replicated_state(data):
+    """Dataset eval must run as a LOCAL single-device program even when the
+    live training state is replicated over a mesh and the kernel-dispatch
+    target still points at that mesh (the epoch-end situation inside fit):
+    tracing eval through the training shard_map would emit cross-process
+    collectives and non-addressable outputs on multi-host jobs."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dino_pose_tpu.ops import dispatch
+
+    model = registry.create_model_from_config(
+        {"model_name": "test/vit-tiny", "num_keypoints": K, "output_heatmap_size": 48},
+        pretrained=False,
+    )
+    baseline = compute_pckh_dataset(
+        model, data / "images", data / "ann.json", batch_size=4, return_all=True
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    replicated = NamedSharding(mesh, P())
+    model.variables = jax.device_put(model.variables, replicated)
+    dispatch.configure_for_mesh(mesh)
+    try:
+        got = compute_pckh_dataset(
+            model, data / "images", data / "ann.json", batch_size=4, return_all=True
+        )
+        # The mesh target must be restored after eval's local() scope.
+        assert dispatch.target_mesh() is mesh
+    finally:
+        dispatch._DISPATCH = None
+        dispatch._MESH = None
+    for k in baseline:
+        assert got[k] == pytest.approx(baseline[k], abs=1e-5)

@@ -165,3 +165,31 @@ def test_stream_block_module_route(params):
         dispatch._DISPATCH, dispatch._MESH = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_stream_mlp_non_default_ratio():
+    """The streaming kernel must read the ACTUAL fc1 width, not assume 4*D:
+    a ratio-3 MLP at D=256 has 3 hidden blocks of 256 — the old (4*d)//bh
+    block count walked one block past the weights (Mosaic clamps the index,
+    silently re-accumulating the last block)."""
+    d, ratio, s, b = 256, 3, 57, 2
+    rng = np.random.default_rng(7)
+    r = lambda *sh: rng.standard_normal(sh).astype(np.float32) * 0.05
+    h = d * ratio
+    mp = MlpParams(
+        g2=1 + r(d), b2=r(d), w1=r(d, h), bf1=r(h),
+        w2=r(h, d), bf2=r(d), ls2=1 + r(d),
+    )
+    x2 = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    want = mlp_part_math(x2, mp, eps=EPS)
+    got = fused_mlp_part_stream(x2, mp, EPS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # Frozen-contract dx parity through the streaming activation-only bwd.
+    f = lambda x_: jnp.sum(fused_mlp_part_stream(x_, mp, EPS, True) ** 2)
+    g = lambda x_: jnp.sum(mlp_part_math(x_, mp, eps=EPS) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x2)), np.asarray(jax.grad(g)(x2)),
+        atol=1e-4, rtol=1e-4,
+    )
