@@ -11,12 +11,14 @@ fastvit_pose.py:79).
 TPU-first choices:
 
 - Everything is NHWC; depthwise convs map to XLA's grouped convolutions.
-- The multi-branch "MobileOne" blocks are expressed in their *training-time*
-  branch form (kxk conv + 1x1 scale branch + identity BN); XLA fuses the
-  branch adds into the surrounding elementwise graph, so there is no runtime
-  reparameterisation step to manage and checkpoints keep the full training
-  parameterisation. ``fuse_mobileone_params`` (below) provides the algebraic
-  k x k single-conv fusion for deployment-time export.
+- The multi-branch "MobileOne" blocks keep the reference's *training-time*
+  branch parameterisation (kxk conv + 1x1 scale branch + identity BN) in
+  the checkpoint tree, but by default EXECUTE as one folded conv per block
+  (``fastvit_fold`` module: branch BN with known batch statistics is
+  affine, so the branches collapse algebraically even in train mode —
+  gate ``DINO_POSE_TPU_FASTVIT_FOLD=0`` restores the literal branch math).
+  ``fuse_mobileone_params`` (below) provides the same algebra as an
+  explicit parameter transform for deployment-time export.
 - Attention stages flatten (H, W) to one token axis and reuse the same
   fused attention op as the ViT (dino_pose_tpu.ops.attention).
 
@@ -169,62 +171,57 @@ class MobileOneBlock(nn.Module):
             kern = F.ConvParams(
                 self.features, (k, k), self.groups, name=f"conv{b}"
             )(in_ch)
-            bn = F.BNAffine(self.features, name=f"conv{b}_bn")
-            if train:
-                y = jax.lax.conv_general_dilated(
-                    x, kern.astype(x.dtype), window_strides=(s, s),
-                    padding=[(k // 2, k // 2)] * 2,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=self.groups,
-                )
-                mean, var, n = F.branch_stats(y)
-                inv, shift = bn(mean, var, n, train=True)
-            else:
-                inv, shift = bn(train=False)
-            kf = kf + kern.astype(jnp.float32) * inv
-            bf = bf + shift
+            kt, bt = F.fold_stats_branch(
+                x, kern, F.BNAffine(self.features, name=f"conv{b}_bn"),
+                k=k, strides=(s, s), groups=self.groups, train=train,
+            )
+            kf = kf + kt
+            bf = bf + bt
 
         if self.use_scale_branch and k > 1:
             skern = F.ConvParams(
                 self.features, (1, 1), self.groups, name="scale"
             )(in_ch)
             sbn = F.BNAffine(self.features, name="scale_bn")
-            if train:
+            if train and in_g == 1:
+                # Depthwise(-multiplier) 1x1: per-channel scalar, so the
+                # branch statistics are exact functions of x's moments.
                 mult = self.features // self.groups
-                if in_g == 1:
-                    # Depthwise(-multiplier) 1x1: per-channel scalar, so the
-                    # branch statistics are exact functions of x's moments.
-                    mx, m2x, n = F.channel_moments(x, (s, s))
-                    svec = skern[0, 0, 0, :].astype(jnp.float32)
-                    mean = svec * jnp.repeat(mx, mult)
-                    var = jnp.square(svec) * jnp.repeat(m2x, mult) - jnp.square(mean)
-                elif self.groups == 1 and in_ch <= 8:
-                    # Dense 1x1 over few channels (stem0's RGB input): second
-                    # moments via one tiny gram matrix on the strided grid.
-                    xs = x[:, ::s, ::s, :].astype(jnp.float32)
-                    flat = xs.reshape(-1, in_ch)
-                    n = flat.shape[0]
-                    mu = jnp.mean(flat, axis=0)
-                    gram = flat.T @ flat / n
-                    w = skern[0, 0].astype(jnp.float32)
-                    mean = mu @ w
-                    var = jnp.einsum("co,do,cd->o", w, w, gram) - jnp.square(mean)
-                else:
-                    y = jax.lax.conv_general_dilated(
-                        x, skern.astype(x.dtype), window_strides=(s, s),
-                        padding=[(0, 0)] * 2,
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        feature_group_count=self.groups,
-                    )
-                    mean, var, n = F.branch_stats(y)
+                mx, m2x, n = F.channel_moments(x, (s, s))
+                svec = skern[0, 0, 0, :].astype(jnp.float32)
+                mean = svec * jnp.repeat(mx, mult)
+                var = jnp.square(svec) * jnp.repeat(m2x, mult) - jnp.square(mean)
                 inv, shift = sbn(mean, var, n, train=True)
+                kt = jnp.pad(
+                    skern.astype(jnp.float32) * inv, (pad_c, pad_c, (0, 0), (0, 0))
+                )
+                bt = shift
+            elif train and self.groups == 1 and in_ch <= 8:
+                # Dense 1x1 over few channels (stem0's RGB input): second
+                # moments via one tiny gram matrix on the strided grid.
+                xs = x[:, ::s, ::s, :].astype(jnp.float32)
+                flat = xs.reshape(-1, in_ch)
+                n = flat.shape[0]
+                mu = jnp.mean(flat, axis=0)
+                gram = flat.T @ flat / n
+                w = skern[0, 0].astype(jnp.float32)
+                mean = mu @ w
+                var = jnp.einsum("co,do,cd->o", w, w, gram) - jnp.square(mean)
+                inv, shift = sbn(mean, var, n, train=True)
+                kt = jnp.pad(
+                    skern.astype(jnp.float32) * inv, (pad_c, pad_c, (0, 0), (0, 0))
+                )
+                bt = shift
             else:
-                inv, shift = sbn(train=False)
-            kf = kf + jnp.pad(
-                skern.astype(jnp.float32) * inv,
-                (pad_c, pad_c, (0, 0), (0, 0)),
-            )
-            bf = bf + shift
+                # Eval (running stats), or a grouped-non-depthwise / wide
+                # dense scale branch whose statistics need the materialised
+                # branch output.
+                kt, bt = F.fold_stats_branch(
+                    x, skern, sbn,
+                    k=k, strides=(s, s), groups=self.groups, train=train,
+                )
+            kf = kf + kt
+            bf = bf + bt
 
         has_skip = in_ch == self.features and s == 1
         if has_skip:
@@ -239,6 +236,12 @@ class MobileOneBlock(nn.Module):
             bf = bf + shift
 
         if return_fold:
+            if self.use_se or self.use_act:
+                raise ValueError(
+                    "return_fold only represents the linear conv+BN part: "
+                    "a block with use_se/use_act cannot be folded into a "
+                    "parent (kernel, bias)."
+                )
             return kf, bf
         if (
             has_skip
@@ -280,23 +283,12 @@ class ReparamLargeKernelConv(nn.Module):
                 kern = F.ConvParams(
                     self.features, (bk, bk), self.groups, name=name
                 )(in_ch)
-                bn = F.BNAffine(self.features, name=f"{name}_bn")
-                if train:
-                    y = jax.lax.conv_general_dilated(
-                        x, kern.astype(x.dtype), window_strides=(s, s),
-                        padding=[(bk // 2, bk // 2)] * 2,
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        feature_group_count=self.groups,
-                    )
-                    mean, var, n = F.branch_stats(y)
-                    inv, shift = bn(mean, var, n, train=True)
-                else:
-                    inv, shift = bn(train=False)
-                pad = ((k - bk) // 2, (k - bk) - (k - bk) // 2)
-                kf = kf + jnp.pad(
-                    kern.astype(jnp.float32) * inv, (pad, pad, (0, 0), (0, 0))
+                kt, bt = F.fold_stats_branch(
+                    x, kern, F.BNAffine(self.features, name=f"{name}_bn"),
+                    k=k, strides=(s, s), groups=self.groups, train=train,
                 )
-                bf = bf + shift
+                kf = kf + kt
+                bf = bf + bt
             out = F.apply_folded(
                 x, kf, bf, strides=(s, s), padding=(k // 2, k // 2),
                 feature_group_count=self.groups,
@@ -616,10 +608,10 @@ def fuse_mobileone_params(
         ks_full[pad : pad + 1, pad : pad + 1] = ks
         k, b = k + ks_full, b + bs
     if skip_bn is not None:
-        in_g, out = k.shape[2], k.shape[3]
-        ident = np.zeros_like(k)
-        for o in range(out):
-            ident[kh // 2, kh // 2, o % in_g, o] = 1.0
+        # Same centred-dirac construction as the train-time fold's skip
+        # branch — they must stay identical for deploy-time fusion to match
+        # trained behaviour.
+        ident = F._center_identity(kh, kh, k.shape[2], k.shape[3])
         ki, bi = fold(ident, skip_bn)
         k, b = k + ki, b + bi
     return k, b

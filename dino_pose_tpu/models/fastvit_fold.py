@@ -183,9 +183,45 @@ def _center_identity(kh: int, kw: int, in_g: int, features: int) -> np.ndarray:
     return ident
 
 
-def fold_conv_branch(kernel: Array, inv: Array, shift: Array):
-    """(conv kernel, BN affine) -> folded (kernel, bias), f32."""
-    return kernel.astype(jnp.float32) * inv, shift
+def fold_stats_branch(
+    x: Array,
+    kernel: Array,
+    bn: BNAffine,
+    *,
+    k: int,
+    strides: tuple[int, int],
+    groups: int,
+    train: bool,
+) -> tuple[Array, Array]:
+    """Fold one (conv kernel, BatchNorm) branch into a kxk-kernel term.
+
+    In train mode the branch output is materialised ONCE, only for its
+    batch statistics (the branch-BN-as-affine algebra in the module
+    docstring); eval mode uses the running statistics and runs no conv.
+    The branch's own kernel size ``bk <= k`` is zero-padded to the centre
+    of the kxk accumulator (offsets align: both convs pad to half their
+    kernel). Returns f32 (kernel_term, bias_term) to accumulate.
+
+    Shared by ``MobileOneBlock`` (bk == k conv branches) and
+    ``ReparamLargeKernelConv`` (small kernel inside the large one).
+    """
+    bk = kernel.shape[0]
+    if train:
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=strides,
+            padding=[(bk // 2, bk // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        mean, var, n = branch_stats(y)
+        inv, shift = bn(mean, var, n, train=True)
+    else:
+        inv, shift = bn(train=False)
+    pad = ((k - bk) // 2, (k - bk) - (k - bk) // 2)
+    return (
+        jnp.pad(kernel.astype(jnp.float32) * inv, (pad, pad, (0, 0), (0, 0))),
+        shift,
+    )
 
 
 def apply_folded(

@@ -43,6 +43,9 @@ CASES = [
     (MobileOneBlock(8, 3, strides=2, groups=1), (2, 10, 10, 3)),  # stem0: dense scale
     (MobileOneBlock(16, 1, strides=1, groups=1), (2, 10, 10, 16)),  # 1x1+skip
     (MobileOneBlock(32, 3, strides=1, groups=16, use_se=True), (2, 8, 8, 16)),  # mult
+    # Grouped-but-not-depthwise scale branch: statistics need the
+    # materialised branch output (the fold_stats_branch fallback arm).
+    (MobileOneBlock(16, 3, strides=1, groups=4), (2, 8, 8, 16)),
     (ReparamLargeKernelConv(24, 7, strides=2, groups=12, small_kernel=3),
      (2, 12, 12, 12)),
     (RepMixer(1e-2), (2, 10, 10, 16)),
