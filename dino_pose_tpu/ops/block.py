@@ -421,21 +421,29 @@ def _attn_bwd_kernel(
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _block_working_set(sp: int, d: int, itemsize: int) -> tuple[int, int]:
-    """(weights_bytes, per_batch_row_bytes) of the fused kernel in VMEM."""
-    weights = 12 * d * d * itemsize
-    per_row = 9 * sp * d * itemsize + 2 * sp * 4 * d * itemsize + sp * sp * 4
+def _block_working_set(
+    sp: int, d: int, itemsize: int, hidden: int | None = None
+) -> tuple[int, int]:
+    """(weights_bytes, per_batch_row_bytes) of the fused kernel in VMEM.
+
+    ``hidden`` is the actual fc1 width; None models the ratio-4 default
+    (qkv+out 4 D², fc1+fc2 2 D·h = 12 D² at h = 4D)."""
+    h = 4 * d if hidden is None else hidden
+    weights = 4 * d * d * itemsize + 2 * d * h * itemsize
+    per_row = 9 * sp * d * itemsize + 2 * sp * h * itemsize + sp * sp * 4
     return weights, per_row
 
 
-def _rows_per_program(sp: int, d: int, itemsize: int) -> int:
+def _rows_per_program(
+    sp: int, d: int, itemsize: int, hidden: int | None = None
+) -> int:
     """Largest batch-rows-per-program whose working set fits VMEM.
 
     Returns 0 when even one row does not fit (long sequences) — callers
     must fall back to the unfused path (``fused_blocks_enabled`` gates on
     this, so in practice the kernel is never built for such shapes).
     """
-    weights, per_row = _block_working_set(sp, d, itemsize)
+    weights, per_row = _block_working_set(sp, d, itemsize, hidden)
     g = int((_VMEM_BUDGET - weights) // max(1, per_row))
     for cand in (8, 4, 2, 1):
         if cand <= g:
@@ -447,6 +455,20 @@ def _part_g_override() -> int:
     """Probe hook: force rows-per-program for the split-half FORWARD
     kernels (``DINO_POSE_TPU_PART_G``). 0 = use the computed default."""
     return int(os.environ.get("DINO_POSE_TPU_PART_G", "0") or 0)
+
+
+def _part_rows(
+    sp: int, d: int, itemsize: int, b: int, hidden: int | None = None
+) -> int:
+    """Rows-per-program for the split-half kernels (whole and TP-partial):
+    the ``DINO_POSE_TPU_PART_G`` probe hook REPLACES the computed default,
+    and the result is clamped to divide the batch. The size model is the
+    (conservative: whole-block) working set with the MLP hidden term at
+    the actual fc1 width."""
+    g = max(_part_g_override() or _rows_per_program(sp, d, itemsize, hidden), 1)
+    while b % g:
+        g //= 2
+    return g
 
 
 _FWD_VMEM_BUDGET = 12 * 1024 * 1024
@@ -1111,9 +1133,7 @@ def fused_attn_part(x: Array, ap: AttnParams, num_heads: int, eps: float) -> Arr
     (never pulled when everything below the adapter is frozen)."""
     b, s, d = x.shape
     xp, args, sp = _prep_block_args(x, ap, list(AttnParams._fields))
-    g = max(_part_g_override() or _rows_per_program(sp, d, x.dtype.itemsize), 1)
-    while b % g:
-        g //= 2
+    g = _part_rows(sp, d, x.dtype.itemsize, b)
     out = _part_call(
         functools.partial(
             _attn_part_kernel, num_heads=num_heads, eps=eps, valid_len=s
@@ -1153,9 +1173,7 @@ def fused_mlp_part(
     dinov2_pose.py:176-204 semantics). dx2 is exact either way."""
     b, s, d = x2.shape
     x2p, args, sp = _prep_block_args(x2, mp, list(MlpParams._fields))
-    g = max(_part_g_override() or _rows_per_program(sp, d, x2.dtype.itemsize), 1)
-    while b % g:
-        g //= 2
+    g = _part_rows(sp, d, x2.dtype.itemsize, b, hidden=mp.w1.shape[-1])
     out = _part_call(
         functools.partial(_mlp_part_kernel, eps=eps), x2p, args, sp, g
     )(x2p, *args)
@@ -1194,6 +1212,11 @@ def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
             interpret=_dispatch_target()[0] != "tpu",
         )(x2p, dyp, *args)
         dmp = jax.tree.map(jnp.zeros_like, mp)  # frozen by caller contract
+    elif mp.w1.shape[-1] != 4 * d:
+        # _mlp_bwd's grad accumulators (_grad_shapes) are ratio-4 by
+        # construction; exact unfused fallback for other fc1 widths.
+        _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
+        return vjp(dy)
     else:
         dx2p, g = _mlp_bwd(x2p, dyp, mp, eps, s)
 
@@ -1233,9 +1256,7 @@ def fused_attn_part_partial(
     the adapter is frozen)."""
     b, s, d = x.shape
     xp, args, sp = _prep_block_args(x, pp, list(AttnPartialParams._fields))
-    g = max(_rows_per_program(sp, d, x.dtype.itemsize), 1)
-    while b % g:
-        g //= 2
+    g = _part_rows(sp, d, x.dtype.itemsize, b)
     out = _part_call(
         functools.partial(
             _attn_part_partial_kernel, num_heads=num_heads, eps=eps, valid_len=s
@@ -1274,9 +1295,7 @@ def fused_mlp_part_partial(
     otherwise jax.vjp of the unfused partial math."""
     b, s, d = x2.shape
     x2p, args, sp = _prep_block_args(x2, pp, list(MlpPartialParams._fields))
-    g = max(_rows_per_program(sp, d, x2.dtype.itemsize), 1)
-    while b % g:
-        g //= 2
+    g = _part_rows(sp, d, x2.dtype.itemsize, b, hidden=pp.w1.shape[-1])
     out = _part_call(
         functools.partial(_mlp_part_partial_kernel, eps=eps), x2p, args, sp, g
     )(x2p, *args)
@@ -1936,14 +1955,19 @@ def parts_fused_enabled(
             tp = _tp_axis_size(n_devices)
             if tp is None or num_heads is None or num_heads % tp:
                 return False
+            if mlp_hidden is not None and mlp_hidden % tp:
+                # The fit verdict below divides the MLP working set by tp;
+                # a width the Megatron split cannot divide would dispatch
+                # to unfused math anyway (_tp_shard_mesh rejects it).
+                return False
     d = hidden_size
     sp = -(-seq_len // 8) * 8
     i = itemsize  # f32 tracing (e.g. model init) doubles the working set
     # FORWARD working sets only — this dispatch serves frozen/inference
     # layers whose backward is never built. Attention half: qkv+out weights
     # (8 D^2, / tp per shard), one row's activation chain, per-head f32
-    # score tile. MLP half: fc1+fc2 weights (/ tp), one live (Sp, 4D/tp)
-    # hidden tensor.
+    # score tile. MLP half: fc1+fc2 weights 2·D·h (/ tp), one live
+    # (Sp, h/tp) hidden tensor, h = actual fc1 width.
     h = 4 * d if mlp_hidden is None else mlp_hidden  # actual fc1 width
     attn = 8 * d * d * i // tp + 7 * sp * d * i + 2 * sp * sp * 4
     mlp = 2 * d * h * i // tp + 3 * sp * d * i + sp * h * i // tp
@@ -2023,6 +2047,13 @@ def fused_blocks_enabled(
     """
     import os
 
+    if mlp_hidden is not None and mlp_hidden != 4 * hidden_size:
+        # The monolithic kernel family (incl. _grad_shapes and its VMEM
+        # models) is built for the DINOv2 ratio-4 MLP; other ratios route
+        # to the split/streaming dispatches, which read actual shapes.
+        # Checked BEFORE the env override: =fused must not force a kernel
+        # whose gradient accumulators cannot represent the weights.
+        return False
     override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
     if override in ("fused", "pallas"):
         return True
@@ -2030,11 +2061,6 @@ def fused_blocks_enabled(
         return False
     platform, n_devices = _dispatch_target()
     if platform != "tpu" or hidden_size > 512:
-        return False
-    if mlp_hidden is not None and mlp_hidden != 4 * hidden_size:
-        # The monolithic kernel family (incl. _grad_shapes and its VMEM
-        # models) is built for the DINOv2 ratio-4 MLP; other ratios route
-        # to the split/streaming dispatches, which read actual shapes.
         return False
     sp = -(-seq_len // 8) * 8
     if _rows_per_program(sp, hidden_size, itemsize) < 1:

@@ -321,3 +321,27 @@ def test_mlp_part_frozen_backward_dx2_exact(params):
     g_frozen = jax.grad(lambda x_: loss(x_, True))(x2)
     np.testing.assert_allclose(np.asarray(g_frozen), np.asarray(g_full),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_part_unfrozen_backward_non_default_ratio():
+    """fused_mlp_part's trainable backward must not reach _mlp_bwd (whose
+    grad accumulators are ratio-4 by construction) for other fc1 widths —
+    the exact-vjp fallback keeps gradients correct."""
+    from dino_pose_tpu.ops.block import MlpParams, fused_mlp_part, mlp_part_math
+
+    d, h, s, b = 32, 96, 9, 2  # ratio 3
+    rng = np.random.default_rng(11)
+    r = lambda *sh: rng.standard_normal(sh).astype(np.float32) * 0.1
+    mp = MlpParams(g2=1 + r(d), b2=r(d), w1=r(d, h), bf1=r(h),
+                   w2=r(h, d), bf2=r(d), ls2=1 + r(d))
+    x2 = jnp.asarray(r(b, s, d))
+
+    f = lambda x_, mp_: jnp.sum(fused_mlp_part(x_, mp_, 1e-6) ** 2)
+    g = lambda x_, mp_: jnp.sum(mlp_part_math(x_, mp_, eps=1e-6) ** 2)
+    gx_f, gm_f = jax.grad(f, argnums=(0, 1))(x2, mp)
+    gx_r, gm_r = jax.grad(g, argnums=(0, 1))(x2, mp)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(gm_f, gm_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-5)
