@@ -15,8 +15,12 @@ Launch contract (one process per host):
     JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \
     JAX_PROCESS_ID=<0..3> python train.py ...
 
-On managed clusters (GKE/SLURM/Borg) where JAX can auto-detect the cluster,
-``jax.distributed.initialize()`` is called with no arguments instead.
+On SLURM (detected via ``SLURM_NTASKS`` > 1), ``jax.distributed.initialize()``
+is called with no arguments and JAX's own cluster auto-detection fills in the
+coordinator/process topology. Other managed launchers must export the env
+contract above — no further auto-detection is attempted, because a wrong
+guess silently trains N independent models that all believe they are the
+primary writer.
 """
 
 from __future__ import annotations
@@ -38,23 +42,29 @@ def maybe_initialize_distributed() -> bool:
 
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
+    slurm_ntasks = os.environ.get("SLURM_NTASKS") or os.environ.get("SLURM_NPROCS")
     if addr and nproc and int(nproc) > 1:
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(nproc),
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
-        # Establish the cross-process collective context NOW, while every
-        # process is at the same point. The context is otherwise created at
-        # the first sharded execution — after each process's big jit
-        # compiles, whose durations can skew arbitrarily (e.g. one process
-        # hits the persistent compilation cache the other just populated)
-        # and blow the backend's fixed context-init handshake timeout.
-        from jax.experimental import multihost_utils
+    elif slurm_ntasks and int(slurm_ntasks) > 1:
+        # SLURM multi-task launch: JAX's cluster auto-detection resolves
+        # the coordinator and process ids from the SLURM environment.
+        jax.distributed.initialize()
+    else:
+        return False
+    # Establish the cross-process collective context NOW, while every
+    # process is at the same point. The context is otherwise created at
+    # the first sharded execution — after each process's big jit
+    # compiles, whose durations can skew arbitrarily (e.g. one process
+    # hits the persistent compilation cache the other just populated)
+    # and blow the backend's fixed context-init handshake timeout.
+    from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices("dino_pose_tpu:distributed_init")
-        return True
-    return False
+    multihost_utils.sync_global_devices("dino_pose_tpu:distributed_init")
+    return True
 
 
 def is_primary() -> bool:

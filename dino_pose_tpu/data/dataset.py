@@ -211,9 +211,16 @@ class DataLoader:
 
         return jax.process_index(), jax.process_count()
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the per-epoch RNG streams (shuffle order + the
+        dataset's augmentation draws) — auto-resume must continue the
+        stream at ``start_epoch``, not replay epochs 0..N."""
+        with self._lock:
+            self._epoch = epoch
+
     def __len__(self) -> int:
         _, nshards = self._shard_info()
-        n = len(self.dataset) // nshards
+        n = -(-len(self.dataset) // nshards)  # ceil: shards are padded equal
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
@@ -228,7 +235,14 @@ class DataLoader:
             ).shuffle(order)
         rank, nshards = self._shard_info()
         if nshards > 1:
-            per = len(order) // nshards
+            # Equal-length shards keep every process's batch count identical
+            # (multi-host steps are one global program — unequal counts
+            # hang the collective). Pad with the epoch's leading indices
+            # (≤ nshards-1 duplicates, torch DistributedSampler's policy)
+            # instead of dropping the remainder, so every sample is seen.
+            per = -(-len(order) // nshards)
+            if per * nshards > len(order):
+                order = np.concatenate([order, order[: per * nshards - len(order)]])
             order = order[rank * per : (rank + 1) * per]
         if self.drop_last:
             order = order[: len(order) - len(order) % self.batch_size]

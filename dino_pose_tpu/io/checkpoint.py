@@ -120,12 +120,29 @@ class AsyncCheckpointWriter:
         self._pending: list = []
 
     def submit(self, fn, *args, **kwargs) -> None:
+        # Fail fast: surface an already-failed earlier write NOW rather
+        # than letting a long run burn hardware time saving nothing and
+        # only hearing about it (or not at all) at the final wait().
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()  # raises the first write error on the caller thread
         self._pending.append(self._pool.submit(fn, *args, **kwargs))
 
     def wait(self) -> None:
         pending, self._pending = self._pending, []
+        errors = []
         for f in pending:
-            f.result()
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — gather, then re-raise
+                errors.append(e)
+        if errors:
+            if len(errors) == 1:
+                raise errors[0]
+            raise RuntimeError(
+                f"{len(errors)} checkpoint writes failed; first: {errors[0]!r}"
+            ) from errors[0]
 
 
 def _schedule_host_copies(tree) -> None:
@@ -190,12 +207,12 @@ def save_checkpoint(
         # makes the subsequent materialisation a cheap drain of in-flight
         # transfers; only numpy trees reach the worker thread, which keeps
         # just the serialization + disk IO off the training loop.
-        _schedule_host_copies(model.variables if state is None else state)
+        tree = snapshot_to_host(model.variables if state is None else state)
         if state is not None:
-            state = _host(state)
+            state = tree
             variables = {"params": state.params, "batch_stats": state.batch_stats}
         else:
-            variables = _host(model.variables)
+            variables = tree
     elif state is not None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:
@@ -282,7 +299,11 @@ def _save_pth(
     }
     if scheduler is not None:
         checkpoint["scheduler_state_dict"] = scheduler.state_dict()
-    torch.save(checkpoint, path)
+    # Atomic like _save_native: a kill mid-torch.save must not leave a
+    # truncated .pth where the PyTorch/CoreML toolchain expects a good one.
+    tmp = f"{path}.tmp"
+    torch.save(checkpoint, tmp)
+    os.replace(tmp, path)
 
 
 # ---------------------------------------------------------------------------

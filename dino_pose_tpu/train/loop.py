@@ -252,6 +252,31 @@ def _fit(
         state, scheduler, start_epoch = ck.restore_train_state(resume_ckpt, state, scheduler)
         print(f"Resumed optimizer/scheduler state from epoch {start_epoch}")
     if n_proc > 1 and load_path:
+        # Guard the collective: on a non-shared filesystem the placeholder
+        # model is built from THIS run's config while the primary restored
+        # the checkpoint's embedded config — structure drift (edited lora
+        # rank, different backbone) would crash or hang broadcast_pytree
+        # with an opaque error. Compare a structure digest first.
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        leaves, treedef = jax.tree.flatten(state)
+        desc = str(treedef) + ";".join(
+            f"{getattr(l, 'shape', ())}{getattr(l, 'dtype', type(l))}"
+            for l in leaves
+        )
+        digest = np.frombuffer(
+            hashlib.sha256(desc.encode()).digest()[:8], np.int64
+        )
+        all_digests = np.asarray(multihost_utils.process_allgather(digest))
+        if not (all_digests == all_digests[0]).all():
+            raise RuntimeError(
+                "Auto-resume: train-state structure differs across processes "
+                "— the run's config does not match the checkpoint the "
+                "primary restored (e.g. model_name/lora settings changed "
+                "between runs sharing checkpoint_dir)."
+            )
         # Make every process bit-identical to the primary's resumed state:
         # replicated params/opt-state that disagree across processes corrupt
         # training with no error raised. Fresh starts skip this (model init
@@ -269,6 +294,15 @@ def _fit(
             scheduler, lr=float(sync[1]), best=float(sync[2]),
             num_bad_epochs=int(sync[3]),
         )
+
+    if start_epoch:
+        # Fast-forward the shuffle/augmentation RNG streams: the loaders
+        # seed per epoch with SeedSequence([seed, epoch, ...]), so without
+        # this a resumed run replays epochs 0..start_epoch-1's sample
+        # orders and augmentation draws instead of continuing the stream.
+        train_loader.set_epoch(start_epoch)
+        if val_loader is not None:
+            val_loader.set_epoch(start_epoch)
 
     device_targets = (model.input_size, model.heatmap_size)
     compute_dtype = policy_for_backend(
@@ -299,11 +333,14 @@ def _fit(
         return model
 
     def run_pckh():
+        # local_batch, not the global batch: dataset eval runs as a LOCAL
+        # single-device program on every process (evaluate.py), so a
+        # global-batch-sized forward would grow with the fleet.
         return compute_pckh_dataset(
             current_model(),
             config_dataset["val_images_dir"],
             config_dataset["val_annotation_json"],
-            batch_size=config_training["batch_size"],
+            batch_size=local_batch,
             num_workers=config_training.get("multiprocessing_num", 4),
         )
 
@@ -420,9 +457,12 @@ def _fit(
             row["pckh_2d"], row["pckh_3d"] = round(p2d, 6), round(p3d, 6)
             if p2d > best_pckh_2d or p3d > best_pckh_3d:
                 base = os.path.join(checkpoint_dir, f"best_model_{epoch + 1}")
-                _save(base, current_model(), state, epoch, train_loss, val_loss,
-                      config_training, config_preproc, scheduler, export_pth,
-                      ckpt_writer)
+                # epoch + 1 = COMPLETED epochs, same convention as the
+                # final save below; restore_train_state resumes at this
+                # index, so saving the loop index would re-train an epoch.
+                _save(base, current_model(), state, epoch + 1, train_loss,
+                      val_loss, config_training, config_preproc, scheduler,
+                      export_pth, ckpt_writer)
             best_pckh_2d = max(best_pckh_2d, p2d)
             best_pckh_3d = max(best_pckh_3d, p3d)
         if is_primary():
@@ -448,9 +488,10 @@ def _save(base, model, state, epoch, train_loss, val_loss,
           async_writer=None):
     if not is_primary():  # one writer per multi-host job
         return
-    if async_writer is not None and export_pth and state is not None:
+    if export_pth and state is not None:
         # Snapshot once: both format writes below would otherwise each drain
-        # a full device→host copy of params + opt_state on this thread.
+        # a full device→host copy of the parameters on this thread (the
+        # sync path's _save_native/_save_pth each call _host internally).
         state = ck.snapshot_to_host(state)
     kw = dict(
         state=state, epoch=epoch, train_loss=train_loss, valid_loss=val_loss,

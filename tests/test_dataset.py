@@ -126,3 +126,16 @@ def test_keypoint_count_mismatch_raises(coco_dir):
             coco_dir / "images",
             coco_dir / "ann.json",
         )
+
+
+def test_set_epoch_fast_forwards_stream(coco_dir):
+    """Auto-resume continues the shuffle/augmentation stream at start_epoch
+    instead of replaying epoch 0 (loaders seed per epoch)."""
+    a = make_loader(coco_dir)
+    list(a), list(a)  # consume epochs 0 and 1
+    b2 = next(iter(a))  # epoch 2
+
+    b = make_loader(coco_dir)
+    b.set_epoch(2)
+    c2 = next(iter(b))
+    np.testing.assert_array_equal(b2["image"], c2["image"])

@@ -129,3 +129,35 @@ def test_hourglass_rejects_odd_grid():
     m = HourglassModule(out_channels=32)
     with pytest.raises(ValueError, match="even spatial grid"):
         m.init(jax.random.key(0), jnp.zeros((1, 23, 23, 16)), train=False)
+
+
+def test_non_divisible_shards_cover_all_and_stay_equal(coco):
+    """8 records over 3 shards: ceil-padding with the epoch's leading
+    indices (1 duplicate) keeps per-shard lengths — hence multi-host batch
+    counts — equal, and drops nothing (the old len//nshards slicing lost
+    up to nshards-1 samples every epoch)."""
+    _, _, config_preproc, config_model = get_default_configs()
+
+    def loader_for(rank, nshards):
+        loader = create_dataloaders(
+            config_preproc, config_model, coco / "images", coco / "ann.json",
+            batch_size=2, num_workers=1, transform=False, shuffle=True,
+            seed=7, drop_last=False,
+        )
+        loader.shard_by_process = True
+        loader._shard_info = lambda: (rank, nshards)
+        return loader
+
+    seen, total = [], 0
+    for rank in range(3):
+        loader = loader_for(rank, 3)
+        assert len(loader) == 2  # ceil(ceil(8/3)=3 / bs 2) on every shard
+        ids = []
+        for batch in loader:
+            ids.extend(np.round(batch["2d_keypoints"][:, 0, 0], 3).tolist())
+        assert len(ids) == 3  # equal shard lengths
+        total += len(ids)
+        seen.append(set(ids))
+    union = set().union(*seen)
+    assert len(union) == 8  # every sample evaluated
+    assert total == 9  # exactly one padded duplicate
