@@ -162,6 +162,9 @@ class PoseDataset:
             "pad_color": wspec.pad_color,
             "src_wh": np.array([wspec.src_w, wspec.src_h], np.float32),
             "occ": wspec.occ,
+            "f3_affine": wspec.f3_affine,
+            "f2_affine": wspec.f2_affine,
+            "frame": wspec.frame,
             "2d_keypoints": kps.astype(np.float32),
             "z_coords": z_coords.astype(np.float32),
         }

@@ -85,10 +85,9 @@ def resize_matrix(src: int, dst: int, dtype=np.float64) -> np.ndarray:
     return m.astype(dtype)
 
 
-def _windowed_gaussians(
-    centers: np.ndarray, size: int, xp
-) -> "np.ndarray | Array":
-    """1-D windowed Gaussians, (K, size): exp(-(x-c)^2/2s^2) on [lo, hi)."""
+def _windowed_gaussians(centers: np.ndarray, size: int, xp):
+    """1-D windowed Gaussians: returns ``(gaussians (K, size), lo (K,),
+    hi (K,))`` with exp(-(x-c)^2/2s^2) masked to the [lo, hi) window."""
     r = DELTA * SIGMA
     lo = xp.floor(xp.maximum(0.0, centers - r))
     hi = xp.floor(xp.minimum(float(size), centers + r))

@@ -53,9 +53,9 @@ class WarpSpec:
     src_w: float             # valid canvas extent (letterboxed image size)
     src_h: float
     occ: np.ndarray          # (4,) x0, x1, y0, y1 in output pixels (or -1s)
-    rot_deg: float           # rotation applied (source-bounds mask uses it)
-    rot_w: float             # F2/F3 frame size (rotation source bounds)
-    rot_h: float
+    f3_affine: np.ndarray    # (2, 3): output -> F3 (resized, pre-pad) frame
+    f2_affine: np.ndarray    # (2, 3): output -> F2 (rotation-source) frame
+    frame: np.ndarray        # (3,) [scaled_w, scaled_h, rot_deg]
 
 
 def _compose(*mats: np.ndarray) -> np.ndarray:
@@ -104,8 +104,11 @@ def chain_affine(
     # F3 -> unflip -> unrotate about centre -> F2
     mats = [to_f5, to_f3]
     if spec.flip:
+        # PIL FLIP_LEFT_RIGHT mirrors pixel INDICES: x -> w - 1 - x in the
+        # integer-centre convention warp_batch samples with (w - x would
+        # shift every flipped image one pixel against the host chain).
         mats.append(
-            np.array([[-1, 0, spec.scaled_w], [0, 1, 0]], np.float64)
+            np.array([[-1, 0, spec.scaled_w - 1], [0, 1, 0]], np.float64)
         )
     if spec.degrees:
         ang = math.radians(spec.degrees)
@@ -121,6 +124,16 @@ def chain_affine(
                 _translate(-ox, -oy),
             )
         )
+    # Intermediate-frame affines for the mask geometry (both frames are
+    # scaled_w x scaled_h): F3 = resized image before padding — model
+    # pixels mapping outside it sit in the PIL pad margins; F2 = the
+    # rotation SOURCE coordinate — PIL rotate fills black where it exits
+    # the frame. The canvas-level bounds check cannot express either
+    # (out-of-crop/rotated-away coordinates can still land on real image
+    # content inside the canvas).
+    f3_affine = _compose(*reversed(mats[:2]))
+    f2_affine = _compose(*reversed(mats))
+
     # F2 -> unscale -> F1 -> un-crop -> F0 (original image)
     mats.append(_scale(spec.crop_w / max(spec.scaled_w, 1), spec.crop_h / max(spec.scaled_h, 1)))
     mats.append(_translate(spec.crop_x0, spec.crop_y0))
@@ -158,9 +171,11 @@ def chain_affine(
         src_w=w0 * canvas_scale[0],
         src_h=h0 * canvas_scale[1],
         occ=occ,
-        rot_deg=float(spec.degrees),
-        rot_w=float(spec.scaled_w),
-        rot_h=float(spec.scaled_h),
+        f3_affine=f3_affine.astype(np.float32),
+        f2_affine=f2_affine.astype(np.float32),
+        frame=np.array(
+            [spec.scaled_w, spec.scaled_h, spec.degrees], np.float32
+        ),
     )
 
 
@@ -187,6 +202,9 @@ def warp_batch(
     pad_colors,    # (B, 3)
     src_wh,        # (B, 2) valid letterbox extent
     occs,          # (B, 4)
+    f3_affines,    # (B, 2, 3) output -> F3 (resized, pre-pad) frame
+    f2_affines,    # (B, 2, 3) output -> F2 (rotation-source) frame
+    frames,        # (B, 3) [scaled_w, scaled_h, rot_deg]
     *,
     model_input: int = 224,
 ):
@@ -195,17 +213,24 @@ def warp_batch(
     xs = jnp.arange(S, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, xs)  # gx: x coordinate, gy: y
 
-    def one(canvas, aff, pad_color, wh, occ):
-        cx = aff[0, 0] * gx + aff[0, 1] * gy + aff[0, 2]
-        cy = aff[1, 0] * gx + aff[1, 1] * gy + aff[1, 2]
+    def apply_affine(aff):
+        return (
+            aff[0, 0] * gx + aff[0, 1] * gy + aff[0, 2],
+            aff[1, 0] * gx + aff[1, 1] * gy + aff[1, 2],
+        )
+
+    def one(canvas, aff, pad_color, wh, occ, f3aff, f2aff, frame):
+        cx, cy = apply_affine(aff)
 
         c = canvas.astype(jnp.float32)
-        x0 = jnp.floor(cx)
-        y0 = jnp.floor(cy)
-        fx = cx - x0
-        fy = cy - y0
-        xi = jnp.clip(x0.astype(jnp.int32), 0, CANVAS - 2)
-        yi = jnp.clip(y0.astype(jnp.int32), 0, CANVAS - 2)
+        xi = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, CANVAS - 2)
+        yi = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, CANVAS - 2)
+        # Fractions from the CLIPPED corner: a coordinate of exactly
+        # CANVAS-1 then weights the true pixel (fx=1) instead of repeating
+        # column CANVAS-2. Out-of-range coordinates can extrapolate, but
+        # every such pixel is masked below.
+        fx = cx - xi.astype(jnp.float32)
+        fy = cy - yi.astype(jnp.float32)
 
         def gather(yy, xx):
             return c[yy, xx]
@@ -223,19 +248,32 @@ def warp_batch(
             + p11 * fx3 * fy3
         )
 
-        # outside the letterboxed source -> black (PIL rotate/crop fill)
+        # outside the letterboxed source -> black
         inside = (
             (cx >= 0.0) & (cx <= wh[0] - 1.0) & (cy >= 0.0) & (cy <= wh[1] - 1.0)
         )
         pix = jnp.where(inside[..., None], pix, 0.0)
-        # pad colour in the resize+pad margins: the model pixel maps outside
-        # the resized image but inside the padded frame -> approximated by
-        # painting pad colour where the source coordinate is out of range and
-        # padding was applied (pad_color == -1 sentinel means none was).
+
+        # PIL parity masks in the frames where PIL actually paints them —
+        # canvas-level bounds cannot express either, because out-of-crop or
+        # rotated-away coordinates still land on real content in the canvas:
+        # 1. rotate fills BLACK where the rotation-source coordinate exits
+        #    the (scaled_w, scaled_h) frame (forward chain: rotate runs
+        #    before padding, so this applies inside F3 only);
+        # 2. resize+pad paints PAD COLOUR wherever the model pixel maps
+        #    outside the resized image (the pad margins).
+        fw, fh, rot = frame[0], frame[1], frame[2]
+        f3x, f3y = apply_affine(f3aff)
+        in_f3 = (f3x >= 0.0) & (f3x <= fw - 1.0) & (f3y >= 0.0) & (f3y <= fh - 1.0)
+        f2x, f2y = apply_affine(f2aff)
+        in_f2 = (f2x >= 0.0) & (f2x <= fw - 1.0) & (f2y >= 0.0) & (f2y <= fh - 1.0)
+        rot_black = (rot != 0.0) & in_f3 & ~in_f2
+        pix = jnp.where(rot_black[..., None], 0.0, pix)
         pad_used = jnp.all(pad_color >= 0.0)
         pix = jnp.where(
-            (~inside[..., None]) & pad_used, pad_color[None, None, :], pix
+            (~in_f3[..., None]) & pad_used, pad_color[None, None, :], pix
         )
+
         # occlusion rectangle (model-pixel frame)
         occ_mask = (
             (gx >= occ[0]) & (gx < occ[1]) & (gy >= occ[2]) & (gy < occ[3])
@@ -246,4 +284,7 @@ def warp_batch(
         pix = (pix - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         return jnp.transpose(pix, (2, 0, 1))
 
-    return jax.vmap(one)(canvases, affines, pad_colors, src_wh, occs)
+    return jax.vmap(one)(
+        canvases, affines, pad_colors, src_wh, occs,
+        f3_affines, f2_affines, frames,
+    )

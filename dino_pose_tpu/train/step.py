@@ -106,9 +106,6 @@ def make_eval_step(module) -> Callable:
     return eval_step
 
 
-def shard_batch_spec(batch_like: dict) -> dict:
-    """PartitionSpec tree sharding the leading (batch) axis over 'data'."""
-    return jax.tree.map(lambda _: P("data"), batch_like)
 
 
 def _prepare_batch(
@@ -130,14 +127,24 @@ def _prepare_batch(
             # canvases + per-sample affines; materialise pixels on device.
             from dino_pose_tpu.data.warp import warp_batch
 
-            input_size = device_targets[0] if device_targets else 224
+            if device_targets is None:
+                # Device-warp loaders never carry '2d_heatmaps' — without
+                # device_targets nothing would render them and the step
+                # crashes later on the missing key. Fail with the cause.
+                raise ValueError(
+                    "device_warp batches require device_targets=(input, "
+                    "heatmap) so targets render in-step"
+                )
             batch["image"] = warp_batch(
                 batch.pop("canvas"),
                 batch.pop("affine"),
                 batch.pop("pad_color"),
                 batch.pop("src_wh"),
                 batch.pop("occ"),
-                model_input=input_size,
+                batch.pop("f3_affine"),
+                batch.pop("f2_affine"),
+                batch.pop("frame"),
+                model_input=device_targets[0],
             )
         if device_targets is not None:
             input_size, heatmap_size = device_targets
@@ -170,8 +177,9 @@ def jit_train_step(
     ``compute_dtype`` casts pixels in-jit (bf16 activations on TPU).
     """
     step = make_train_step(module, tx, partition)
-    if device_targets is not None or compute_dtype is not None:
-        step = _prepare_batch(step, device_targets, compute_dtype)
+    # Always wrapped: a device-warp ('canvas') batch without device_targets
+    # must fail with the explanatory ValueError, not a KeyError mid-model.
+    step = _prepare_batch(step, device_targets, compute_dtype)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     replicated = NamedSharding(mesh, P())
@@ -192,8 +200,7 @@ def jit_eval_step(
     compute_dtype=None,
 ):
     step = make_eval_step(module)
-    if device_targets is not None or compute_dtype is not None:
-        step = _prepare_batch(step, device_targets, compute_dtype)
+    step = _prepare_batch(step, device_targets, compute_dtype)
     if mesh is None:
         return jax.jit(step)
     replicated = NamedSharding(mesh, P())

@@ -67,7 +67,8 @@ def test_warp_matches_host_geometry(tmp_path):
     np.testing.assert_array_equal(dw["z_coords"], host["z_coords"])
 
     img = np.asarray(
-        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"], dw["occ"])
+        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"],
+                   dw["occ"], dw["f3_affine"], dw["f2_affine"], dw["frame"])
     )
     assert img.shape == host["image"].shape == (4, 3, 224, 224)
     # interior crop: avoid border-handling differences
@@ -89,7 +90,8 @@ def test_warp_matches_host_with_rotation(tmp_path):
 
     np.testing.assert_array_equal(dw["2d_keypoints"], host["2d_keypoints"])
     img = np.asarray(
-        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"], dw["occ"])
+        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"],
+                   dw["occ"], dw["f3_affine"], dw["f2_affine"], dw["frame"])
     )
     a = img[:, :, 20:-20, 20:-20]
     b = host["image"][:, :, 20:-20, 20:-20]
@@ -105,7 +107,8 @@ def test_warp_full_chain_runs_and_occludes(tmp_path):
     batch = next(iter(loader))
     img = np.asarray(
         warp_batch(batch["canvas"], batch["affine"], batch["pad_color"],
-                   batch["src_wh"], batch["occ"])
+                   batch["src_wh"], batch["occ"], batch["f3_affine"],
+                   batch["f2_affine"], batch["frame"])
     )
     assert np.all(np.isfinite(img))
     from dino_pose_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
@@ -140,4 +143,80 @@ def test_warp_train_step_integration(tmp_path):
     import jax
 
     state2, stats = step(state, batch, jnp.float32(1e-3), jax.random.key(0))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_warp_matches_host_with_flip(tmp_path):
+    """Flip enabled: PIL FLIP_LEFT_RIGHT mirrors pixel indices (x -> w-1-x);
+    the previous w-x affine shifted every flipped sample one pixel."""
+    from dino_pose_tpu.data.warp import warp_batch
+
+    root = make_coco(tmp_path)
+    cfg = dict(GEOM_ONLY, is_flipping=True)
+    dw = next(iter(loaders(root, cfg, device_warp=True)))
+    host = next(iter(loaders(root, cfg, device_warp=False)))
+
+    np.testing.assert_array_equal(dw["2d_keypoints"], host["2d_keypoints"])
+    img = np.asarray(
+        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"],
+                   dw["occ"], dw["f3_affine"], dw["f2_affine"], dw["frame"])
+    )
+    a = img[:, :, 10:-10, 10:-10]
+    b = host["image"][:, :, 10:-10, 10:-10]
+    assert np.mean(np.abs(a - b)) < 0.01, np.mean(np.abs(a - b))
+
+
+def test_warp_rotation_black_fill_with_pre_crop(tmp_path):
+    """Rotation + pre_crop (the production default): pixels rotated out of
+    the source must be BLACK like PIL's fill, not content leaked from the
+    pre-crop region of the original image."""
+    from dino_pose_tpu.data.warp import warp_batch
+
+    root = make_coco(tmp_path)
+    cfg = dict(GEOM_ONLY, is_rotate=True, pre_crop=True)
+    dw = next(iter(loaders(root, cfg, device_warp=True)))
+    host = next(iter(loaders(root, cfg, device_warp=False)))
+
+    np.testing.assert_array_equal(dw["2d_keypoints"], host["2d_keypoints"])
+    img = np.asarray(
+        warp_batch(dw["canvas"], dw["affine"], dw["pad_color"], dw["src_wh"],
+                   dw["occ"], dw["f3_affine"], dw["f2_affine"], dw["frame"])
+    )
+    a = img[:, :, 5:-5, 5:-5]
+    b = host["image"][:, :, 5:-5, 5:-5]
+    # Pre-fix this was ~0.09 (corners sampled real content where the host
+    # chain has black); with the F2-frame mask it is interpolation-level.
+    assert np.mean(np.abs(a - b)) < 0.02, np.mean(np.abs(a - b))
+
+
+@pytest.mark.slow
+def test_device_warp_train_step_end_to_end(tmp_path):
+    """The jitted production step consumes a device-warp batch directly:
+    canvases warp in-jit, Gaussian targets render in-step, every warp key
+    is popped before the model sees the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from dino_pose_tpu.models import registry
+    from dino_pose_tpu.train.state import create_train_state
+    from dino_pose_tpu.train.step import jit_train_step
+
+    root = make_coco(tmp_path)
+    batch = next(iter(loaders(root, {}, device_warp=True)))
+    config = {"model_name": "test/vit-tiny", "num_keypoints": K,
+              "output_heatmap_size": 48, "use_lora": False}
+    model = registry.create_model_from_config(config, pretrained=False)
+    state, tx, part = create_train_state(model.variables, config, model.family)
+
+    with pytest.raises(ValueError, match="device_targets"):
+        jit_train_step(model.module, tx, part)(
+            state, jax.tree.map(jnp.asarray, batch),
+            jnp.float32(1e-3), jax.random.key(0),
+        )
+
+    step = jit_train_step(model.module, tx, part, device_targets=(224, 48))
+    state, stats = step(
+        state, jax.tree.map(jnp.asarray, batch),
+        jnp.float32(1e-3), jax.random.key(0),
+    )
     assert np.isfinite(float(stats["loss"]))
