@@ -36,12 +36,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (pattern, spec) — first match wins. Patterns match the joined path suffix.
 VIT_TP_RULES: list[tuple[str, P]] = [
-    (r"attention/(query|key|value)/kernel$", P(None, "model")),
-    (r"attention/(query|key|value)/bias$", P("model")),
-    (r"attention/out/kernel$", P("model", None)),
-    (r"fc1/kernel$", P(None, "model")),
-    (r"fc1/bias$", P("model")),
-    (r"fc2/kernel$", P("model", None)),
+    # Anchored to encoder blocks (layer<i>/...): the pose heads' own
+    # fc1/fc2 Dense layers (pose_heads/z_head/fc{0,1,2}) must stay
+    # replicated — Megatron-sharding the trainable head would put per-step
+    # collectives in the hottest gradient path for no memory win.
+    (r"layer\d+/attention/(query|key|value)/kernel$", P(None, "model")),
+    (r"layer\d+/attention/(query|key|value)/bias$", P("model")),
+    (r"layer\d+/attention/out/kernel$", P("model", None)),
+    (r"layer\d+/fc1/kernel$", P(None, "model")),
+    (r"layer\d+/fc1/bias$", P("model")),
+    (r"layer\d+/fc2/kernel$", P("model", None)),
 ]
 
 # FastViT: 1x1 convs are matmuls with (1, 1, in, out) kernels — Megatron
@@ -90,6 +94,11 @@ def _spec_fits(spec: P, shape: tuple[int, ...], mesh: Mesh) -> bool:
         axes = (axis,) if isinstance(axis, str) else axis
         size = 1
         for a in axes:
+            if a not in mesh.shape:
+                # Rule names an axis this mesh doesn't have (e.g. 'model'
+                # on a data-only eval mesh) -> replicate, per the module
+                # docstring's any-mesh fallback promise.
+                return False
             size *= mesh.shape[a]
         if dim % size != 0:
             return False

@@ -14,8 +14,11 @@ TPU-first design choices (not a port):
   align_corners=False — transformers Dinov2Embeddings.interpolate_pos_encoding)
   is expressed as two precomputed static resize matrices, i.e. two tiny matmuls
   the MXU executes instead of a gather-based image resample.
-- Attention runs the fused single-block Pallas flash kernel on TPU
-  (dino_pose_tpu.ops.attention) with softmax kept on-chip.
+- Transformer layers run as fused Pallas block (or split-half/streaming)
+  kernels on TPU (dino_pose_tpu.ops.block); the standalone flash-attention
+  kernel (dino_pose_tpu.ops.attention) engages on long sequences
+  (S >= FLASH_MIN_SEQ = 512, e.g. 518-input fine-tuning) where it beats
+  XLA — at the production S = 257 the unfused XLA path measured faster.
 - Optional residual LoRA on the attention output (the reference's
   ``LoRAAttention`` wraps only the last encoder layer,
   /root/reference/model/dinov2_pose.py:197-204).
@@ -32,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dino_pose_tpu.nn import layers as L
-from dino_pose_tpu.ops.attention import attention
 from dino_pose_tpu.ops.block import (
     AttnParams,
     BlockParams,
@@ -139,49 +141,11 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-class SelfAttention(nn.Module):
-    config: ViTConfig
-    use_lora: bool = False
-
-    @nn.compact
-    def __call__(self, x: Array, *, deterministic: bool) -> Array:
-        cfg = self.config
-        b, s, d = x.shape
-        # Parameters stay as three separate tensors (HF/torch bridge naming
-        # under query/key/value scopes) but run as ONE fused (D, 3D)
-        # projection — one large MXU matmul instead of three.
-        kernels, biases = zip(
-            *(
-                _DenseParams(cfg.hidden_size, name=nm)(d)
-                for nm in ("query", "key", "value")
-            )
-        )
-        w = jnp.concatenate(kernels, axis=1).astype(x.dtype)
-        bvec = jnp.concatenate(biases).astype(x.dtype)
-        qkv = jnp.dot(x, w) + bvec
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split(t):
-            return t.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-
-        ctx = attention(split(q), split(k), split(v), scale=cfg.head_dim**-0.5)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
-        out = L.Dense(cfg.hidden_size, name="out")(ctx)
-        if self.use_lora:
-            out = out + LoRAAdapter(
-                rank=cfg.lora_rank,
-                alpha=cfg.lora_alpha,
-                dropout=cfg.lora_dropout,
-                name="lora_output",
-            )(out, deterministic=deterministic)
-        return out
-
-
 class _LoraAttention(nn.Module):
     """LoRA-layer attention half: LN1 + qkv + attention + out-projection run
     via the fused Pallas kernel (or the unfused math), then the residual
     LoRA adapter applies in XLA (it owns the dropout RNG). Parameter tree is
-    identical to :class:`SelfAttention` with ``use_lora=True`` — scopes
+    identical to the reference's LoRAAttention wrapper — scopes
     query/key/value/out/lora_output — so checkpoints are unaffected.
     LN1's params are passed in because the reference tree keeps ``norm1`` a
     sibling of ``attention``."""
@@ -247,7 +211,7 @@ class _NormParams(nn.Module):
 
 
 class _AttnParams(nn.Module):
-    """Attention parameter holder producing the SAME tree as SelfAttention
+    """Attention parameter holder producing the HF query/key/value/out tree
     (query/key/value/out scopes) but returning the raw arrays, so the block
     can route its compute through either the fused Pallas kernel or the
     unfused math without changing the checkpoint/bridge layout."""
@@ -346,12 +310,26 @@ class Block(nn.Module):
             x2 = x + o * ls1.astype(o.dtype)
             mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
             return dispatch_mlp_part_stream(x2, mp, cfg.layer_norm_eps)
+        if not (self.frozen or deterministic) and cfg.hidden_dropout > 0.0:
+            # In-block dropout, HF semantics: Dinov2SelfOutput applies
+            # hidden_dropout after the attention out-projection (before
+            # LayerScale); Dinov2MLP has none. block_math cannot host an
+            # RNG, so the dropout-training path composes the two unfused
+            # halves explicitly.
+            ap = AttnParams(g1, b1, wqkv, bqkv, wo, bo)
+            o = attn_part_math(
+                x, ap, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps
+            )
+            o = nn.Dropout(rate=cfg.hidden_dropout)(o, deterministic=False)
+            x2 = x + o * ls1.astype(o.dtype)
+            mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
+            return mlp_part_math(x2, mp, eps=cfg.layer_norm_eps)
         return block_math(x, p, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
 
     def _lora_path(self, x: Array, *, deterministic: bool) -> Array:
         """LoRA block: fused attention half -> adapter (XLA, dropout RNG) ->
         fused MLP half. Same math and parameter tree as the legacy
-        LN/SelfAttention/Dense composition; the attention half's backward is
+        LN/attention/Dense composition; the attention half's backward is
         never pulled (nothing below the adapter is trainable in LoRA
         configs), and the MLP half has a true Pallas backward carrying the
         adapter's cotangent through dx2."""
@@ -443,6 +421,16 @@ class Dinov2Backbone(nn.Module):
         x = L.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
 
         first_unfrozen = cfg.num_layers - cfg.num_unfrozen_layers
+        if cfg.lora_layers and cfg.num_unfrozen_layers:
+            # LoRA implies a fully-frozen backbone (reference semantics,
+            # dinov2_pose.py:176-204; the registry enforces it). A LoRA
+            # layer inside the unfrozen range would take _lora_path, whose
+            # assume_frozen_weights backward SILENTLY zeroes the MLP weight
+            # gradients — fail loudly instead.
+            raise ValueError(
+                "lora_layers and num_unfrozen_layers are mutually exclusive: "
+                "LoRA configs freeze the whole backbone"
+            )
         for i in range(cfg.num_layers):
             x = Block(
                 cfg,

@@ -70,7 +70,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
 
 
 def _heads_per_program(bh: int, sp: int, d: int, itemsize: int) -> int:
-    """Largest G dividing bh whose working set fits comfortably in VMEM."""
+    """Largest G dividing bh whose working set fits comfortably in VMEM;
+    0 when even one head-program exceeds the budget (the f32 score tile is
+    4*sp^2 alone — past ~S 1600 nothing fits and callers must stay on the
+    XLA path; ``attention()`` gates on this)."""
     budget = 10 * 1024 * 1024  # leave headroom under ~16 MB
     for g in (16, 8, 4, 2, 1):
         if bh % g:
@@ -79,7 +82,13 @@ def _heads_per_program(bh: int, sp: int, d: int, itemsize: int) -> int:
         tensors = 4 * g * sp * d * itemsize
         if scores + tensors <= budget:
             return g
-    return 1
+    return 0
+
+
+def flash_fits(batch: int, heads: int, seq: int, head_dim: int, itemsize: int) -> bool:
+    """True when the flash kernel's per-program working set fits VMEM."""
+    sp = -(-seq // 8) * 8
+    return _heads_per_program(batch * heads, sp, head_dim, itemsize) >= 1
 
 
 def _pallas_forward(q, k, v, scale: float):
@@ -96,6 +105,11 @@ def _pallas_forward(q, k, v, scale: float):
 
     qp, kp, vp = reshape(qp), reshape(kp), reshape(vp)
     g = _heads_per_program(b * h, sp, d, q.dtype.itemsize)
+    if g == 0:
+        raise ValueError(
+            f"flash kernel working set exceeds VMEM at (S={s}, dh={d}); "
+            "gate with flash_fits before dispatching"
+        )
     spec = pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, valid_len=s),
@@ -262,8 +276,13 @@ def attention(q, k, v, scale: float, *, use_pallas: bool | None = None):
         if override in ("xla", "pallas"):
             use_pallas = override == "pallas"
         else:
+            b, h, s, dh = q.shape
             use_pallas = (
-                _dispatch_target()[0] == "tpu" and q.shape[2] >= FLASH_MIN_SEQ
+                _dispatch_target()[0] == "tpu"
+                and s >= FLASH_MIN_SEQ
+                # Past ~S 1600 the f32 score tile alone exceeds VMEM:
+                # stay on XLA instead of shipping an uncompilable kernel.
+                and flash_fits(b, h, s, dh, q.dtype.itemsize)
             )
     if use_pallas:
         return flash_attention(q, k, v, scale)

@@ -38,3 +38,15 @@ def test_kernel_gradients_match():
     )(x, scale, bias)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_gate_rejects_oversized_sequences():
+    """attention() must stay on XLA when the flash kernel's f32 score tile
+    cannot fit VMEM (the old g=1 fallback shipped an uncompilable kernel)."""
+    from dino_pose_tpu.ops.attention import _heads_per_program, flash_fits
+
+    assert _heads_per_program(12, 264, 64, 2) >= 1
+    assert flash_fits(1, 6, 257, 64, 2)
+    # S=2032 padded: 4*sp^2 ~= 16.5 MB of f32 scores alone.
+    assert _heads_per_program(12, 2032, 64, 2) == 0
+    assert not flash_fits(1, 6, 2026, 64, 2)

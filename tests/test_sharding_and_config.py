@@ -161,3 +161,34 @@ def test_non_divisible_shards_cover_all_and_stay_equal(coco):
     union = set().union(*seen)
     assert len(union) == 8  # every sample evaluated
     assert total == 9  # exactly one padded duplicate
+
+
+def test_tp_rules_do_not_shard_pose_heads():
+    """The Megatron rules target encoder blocks; the pose heads' own
+    fc1/fc2 Dense layers must stay replicated (sharding the trainable head
+    puts per-step collectives in the hottest gradient path)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from dino_pose_tpu.core.sharding import tree_shardings
+    from dino_pose_tpu.models import registry
+
+    model = registry.create_model_from_config(
+        {"model_name": "test/vit-tiny", "num_keypoints": 24,
+         "output_heatmap_size": 48},
+        pretrained=False,
+    )
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    sh = tree_shardings(model.variables["params"], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    from dino_pose_tpu.core.sharding import _path_str
+
+    sharded = {_path_str(p) for p, s in flat if s.spec != P()}
+    assert sharded  # the encoder rules did engage
+    assert all(path.startswith("backbone/layer") for path in sharded), sharded
+
+    # A mesh without a 'model' axis must fall back to replication, not
+    # KeyError (the documented any-mesh contract).
+    data_mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    sh2 = tree_shardings(model.variables["params"], data_mesh)
+    assert all(s.spec == P() for _, s in jax.tree_util.tree_flatten_with_path(sh2)[0])

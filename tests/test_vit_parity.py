@@ -94,3 +94,49 @@ def test_lora_zero_init_is_identity():
         "backbone.encoder.layer.1.attention.original_attention.attention.query.weight"
         in exported
     )
+
+
+def test_hidden_dropout_applies_in_blocks():
+    """hidden_dropout > 0 must actually drop inside blocks during training
+    (HF Dinov2SelfOutput semantics) — it used to fall through to block_math,
+    which has no RNG, silently losing the requested regularisation."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dino_pose_tpu.models.vit import VIT_PRESETS, Dinov2Backbone
+
+    cfg = dataclasses.replace(VIT_PRESETS["test/vit-tiny"], hidden_dropout=0.5)
+    module = Dinov2Backbone(cfg)
+    x = jnp.ones((1, cfg.patch_size * 4, cfg.patch_size * 4, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x, deterministic=True)
+
+    def run(seed, det):
+        out, _ = module.apply(
+            variables, x, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.key(seed)},
+        )
+        return np.asarray(out)
+
+    d1, d2 = run(1, False), run(2, False)
+    assert not np.allclose(d1, d2)  # different masks -> different outputs
+    np.testing.assert_array_equal(run(0, True), run(0, True))  # eval: exact
+
+
+def test_lora_and_unfreeze_are_mutually_exclusive():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from dino_pose_tpu.models.vit import VIT_PRESETS, Dinov2Backbone
+
+    cfg = dataclasses.replace(
+        VIT_PRESETS["test/vit-tiny"], lora_layers=(1,), num_unfrozen_layers=1
+    )
+    module = Dinov2Backbone(cfg)
+    x = jnp.ones((1, cfg.patch_size * 2, cfg.patch_size * 2, 3), jnp.float32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        module.init(jax.random.key(0), x, deterministic=True)
