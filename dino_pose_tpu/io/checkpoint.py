@@ -49,12 +49,30 @@ def reference_class_name(model: PoseModel) -> str:
 
 
 def rules_for_model(model: PoseModel) -> list[tb.Rule]:
-    """Bridge rules covering the model's full variable tree."""
+    """Bridge rules covering the model's full variable tree.
+
+    The heads' upsampling-stage count follows the model's actual geometry
+    (``upsampling_plan``) — hardcoding the default-config 2 desyncs the
+    rules from the built tree for any non-48 ``output_heatmap_size``:
+    restore would silently leave extra up stages random-initialised."""
+    from dino_pose_tpu.models.heads import upsampling_plan
+
     if model.family == "dinov2":
         vit_cfg = model.module.vit
-        return tb.dinov2_pose_rules(vit_cfg.num_layers, vit_cfg.lora_layers)
+        spatial = model.input_size // vit_cfg.patch_size
+        n_up = len(upsampling_plan(spatial, model.heatmap_size))
+        return tb.dinov2_pose_rules(
+            vit_cfg.num_layers, vit_cfg.lora_layers, num_up_stages=n_up
+        )
     if model.family == "fastvit":
-        return tb.fastvit_pose_rules(model.module.cfg)
+        from dino_pose_tpu.models.fastvit_pose import (
+            _REFERENCE_SPATIAL_INPUT_SIZE,
+        )
+
+        n_up = len(
+            upsampling_plan(_REFERENCE_SPATIAL_INPUT_SIZE, model.heatmap_size)
+        )
+        return tb.fastvit_pose_rules(model.module.cfg, num_up_stages=n_up)
     raise NotImplementedError(f"No torch bridge rules for family {model.family}")
 
 

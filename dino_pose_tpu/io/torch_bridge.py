@@ -38,7 +38,7 @@ class Rule:
 
     flax_path: tuple[str, ...]
     torch_key: str
-    kind: str = "none"  # linear | conv | convT | none
+    kind: str = "none"  # linear | conv | convT | scale2d | none
 
 
 def _to_flax(w: np.ndarray, kind: str) -> np.ndarray:
@@ -142,6 +142,21 @@ def _conv_bn_rules(flax_base, torch_conv, torch_bn, *, deconv=False) -> list[Rul
     ]
 
 
+def _split_conv_bn_rules(
+    fpath: tuple[str, ...], fconv: str, fbn: str, tconv: str, tbn: str
+) -> list[Rule]:
+    """Conv+BN pair whose flax params are SIBLINGS (reparam-fold holders:
+    ``<name>/kernel`` next to ``<name>_bn`` affine + running stats), mapped
+    to torch ``<tconv>.weight`` / ``<tbn>.{weight,bias,running_*}``."""
+    return [
+        Rule(("params",) + fpath + (fconv, "kernel"), f"{tconv}.weight", "conv"),
+        Rule(("params",) + fpath + (fbn, "scale"), f"{tbn}.weight"),
+        Rule(("params",) + fpath + (fbn, "bias"), f"{tbn}.bias"),
+        Rule(("batch_stats",) + fpath + (fbn, "mean"), f"{tbn}.running_mean"),
+        Rule(("batch_stats",) + fpath + (fbn, "var"), f"{tbn}.running_var"),
+    ]
+
+
 def spatial_heads_rules(
     module_path: tuple[str, ...],
     torch_prefix: str,
@@ -199,7 +214,9 @@ def spatial_heads_rules(
     return rules
 
 
-def dinov2_pose_rules(num_layers: int, lora_layers: Iterable[int] = ()) -> list[Rule]:
+def dinov2_pose_rules(
+    num_layers: int, lora_layers: Iterable[int] = (), num_up_stages: int = 2
+) -> list[Rule]:
     """Full-variable-tree mapping for ``DinoPoseModule`` checkpoints.
 
     torch keys carry the reference prefixes: ``backbone.*`` for the ViT,
@@ -209,7 +226,9 @@ def dinov2_pose_rules(num_layers: int, lora_layers: Iterable[int] = ()) -> list[
         Rule(("params", "backbone") + r.flax_path, f"backbone.{r.torch_key}", r.kind)
         for r in vit_rules(num_layers, lora_layers)
     ]
-    rules += spatial_heads_rules(("pose_heads",), "pose_heads.")
+    rules += spatial_heads_rules(
+        ("pose_heads",), "pose_heads.", num_up_stages=num_up_stages
+    )
     return rules
 
 
@@ -236,31 +255,15 @@ def mobileone_rules(
     skip_bn/se <-> torch rbr_conv.{b}/rbr_scale/rbr_skip/se)."""
     rules: list[Rule] = []
     for b in range(num_branches):
-        rules += [
-            Rule(("params",) + fpath + (f"conv{b}", "kernel"),
-                 f"{tprefix}rbr_conv.{b}.conv.weight", "conv"),
-            Rule(("params",) + fpath + (f"conv{b}_bn", "scale"),
-                 f"{tprefix}rbr_conv.{b}.bn.weight"),
-            Rule(("params",) + fpath + (f"conv{b}_bn", "bias"),
-                 f"{tprefix}rbr_conv.{b}.bn.bias"),
-            Rule(("batch_stats",) + fpath + (f"conv{b}_bn", "mean"),
-                 f"{tprefix}rbr_conv.{b}.bn.running_mean"),
-            Rule(("batch_stats",) + fpath + (f"conv{b}_bn", "var"),
-                 f"{tprefix}rbr_conv.{b}.bn.running_var"),
-        ]
+        rules += _split_conv_bn_rules(
+            fpath, f"conv{b}", f"conv{b}_bn",
+            f"{tprefix}rbr_conv.{b}.conv", f"{tprefix}rbr_conv.{b}.bn",
+        )
     if kernel > 1:
-        rules += [
-            Rule(("params",) + fpath + ("scale", "kernel"),
-                 f"{tprefix}rbr_scale.conv.weight", "conv"),
-            Rule(("params",) + fpath + ("scale_bn", "scale"),
-                 f"{tprefix}rbr_scale.bn.weight"),
-            Rule(("params",) + fpath + ("scale_bn", "bias"),
-                 f"{tprefix}rbr_scale.bn.bias"),
-            Rule(("batch_stats",) + fpath + ("scale_bn", "mean"),
-                 f"{tprefix}rbr_scale.bn.running_mean"),
-            Rule(("batch_stats",) + fpath + ("scale_bn", "var"),
-                 f"{tprefix}rbr_scale.bn.running_var"),
-        ]
+        rules += _split_conv_bn_rules(
+            fpath, "scale", "scale_bn",
+            f"{tprefix}rbr_scale.conv", f"{tprefix}rbr_scale.bn",
+        )
     if identity:
         rules += _bn_module_rules(fpath + ("skip_bn",), f"{tprefix}rbr_skip")
     if use_se:
@@ -281,18 +284,10 @@ def _large_kernel_rules(fpath: tuple[str, ...], tprefix: str) -> list[Rule]:
     """ReparamLargeKernelConv: lkb_origin (7x7) + small_conv branches."""
     rules = []
     for fname, tname in (("large", "lkb_origin"), ("small", "small_conv")):
-        rules += [
-            Rule(("params",) + fpath + (fname, "kernel"),
-                 f"{tprefix}{tname}.conv.weight", "conv"),
-            Rule(("params",) + fpath + (f"{fname}_bn", "scale"),
-                 f"{tprefix}{tname}.bn.weight"),
-            Rule(("params",) + fpath + (f"{fname}_bn", "bias"),
-                 f"{tprefix}{tname}.bn.bias"),
-            Rule(("batch_stats",) + fpath + (f"{fname}_bn", "mean"),
-                 f"{tprefix}{tname}.bn.running_mean"),
-            Rule(("batch_stats",) + fpath + (f"{fname}_bn", "var"),
-                 f"{tprefix}{tname}.bn.running_var"),
-        ]
+        rules += _split_conv_bn_rules(
+            fpath, fname, f"{fname}_bn",
+            f"{tprefix}{tname}.conv", f"{tprefix}{tname}.bn",
+        )
     return rules
 
 
@@ -364,17 +359,11 @@ def fastvit_backbone_rules(cfg, base: tuple[str, ...] = ("backbone",),
             # ConvFFN
             fc1 = f"{tb}mlp.fc1." if not lora else f"{tb}mlp.fc1.original_conv."
             fc2 = f"{tb}mlp.fc2." if not lora else f"{tb}mlp.fc2.original_conv."
+            rules += _split_conv_bn_rules(
+                bp + ("mlp",), "conv", "conv_bn",
+                f"{tb}mlp.conv.conv", f"{tb}mlp.conv.bn",
+            )
             rules += [
-                Rule(("params",) + bp + ("mlp", "conv", "kernel"),
-                     f"{tb}mlp.conv.conv.weight", "conv"),
-                Rule(("params",) + bp + ("mlp", "conv_bn", "scale"),
-                     f"{tb}mlp.conv.bn.weight"),
-                Rule(("params",) + bp + ("mlp", "conv_bn", "bias"),
-                     f"{tb}mlp.conv.bn.bias"),
-                Rule(("batch_stats",) + bp + ("mlp", "conv_bn", "mean"),
-                     f"{tb}mlp.conv.bn.running_mean"),
-                Rule(("batch_stats",) + bp + ("mlp", "conv_bn", "var"),
-                     f"{tb}mlp.conv.bn.running_var"),
                 Rule(("params",) + bp + ("mlp", "fc1", "kernel"), f"{fc1}weight", "conv"),
                 Rule(("params",) + bp + ("mlp", "fc1", "bias"), f"{fc1}bias"),
                 Rule(("params",) + bp + ("mlp", "fc2", "kernel"), f"{fc2}weight", "conv"),
@@ -398,13 +387,15 @@ def fastvit_backbone_rules(cfg, base: tuple[str, ...] = ("backbone",),
     return rules
 
 
-def fastvit_pose_rules(cfg) -> list[Rule]:
+def fastvit_pose_rules(cfg, num_up_stages: int = 2) -> list[Rule]:
     """Full-variable-tree mapping for ``FastVitPoseModule`` checkpoints.
 
     Heads live at ``backbone.head.*`` in torch (the reference replaces
     timm's classification head attribute, fastvit_pose.py:23,135)."""
     rules = fastvit_backbone_rules(cfg)
-    rules += spatial_heads_rules(("pose_heads",), "backbone.head.")
+    rules += spatial_heads_rules(
+        ("pose_heads",), "backbone.head.", num_up_stages=num_up_stages
+    )
     return rules
 
 

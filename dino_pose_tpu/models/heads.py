@@ -22,6 +22,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dino_pose_tpu.nn import layers as L
 
@@ -83,15 +84,17 @@ class HourglassModule(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         c = self.out_channels
         in_c = x.shape[-1]
-        if x.shape[1] % 2 or x.shape[2] % 2:
-            # Same constraint as the reference (stride-2 down + 2x deconv up
-            # can't reproduce an odd size: 23 -> 12 -> 24 != 23). dinov2 at
-            # 224 gives an even 16x16 grid; 322/518 give odd 23/37 grids and
-            # fail in torch too — surface it clearly instead of a shape error.
+        if x.shape[1] % 4 or x.shape[2] % 4:
+            # Same constraint as the reference (two stride-2 downs + two 2x
+            # deconv ups can't reproduce sizes not divisible by 4: 22 -> 11
+            # -> 6 -> 12 -> 24 != 22). dinov2 at 224 gives a 16x16 grid;
+            # 308/322/518 give 22/23/37 grids and fail in torch too —
+            # surface it clearly instead of an XLA broadcast error.
             raise ValueError(
-                f"HourglassModule needs an even spatial grid, got "
+                f"HourglassModule needs a spatial grid divisible by 4, got "
                 f"{x.shape[1]}x{x.shape[2]} (input_size/patch_size must be "
-                f"even; reference pose_heads.py:211-285 has the same limit)"
+                f"divisible by 4; reference pose_heads.py:211-285 has the "
+                f"same limit)"
             )
 
         skip = ConvBNRelu(c, kernel_size=(1, 1), padding=(0, 0), name="skip")(x, train=train)
@@ -111,6 +114,20 @@ class HourglassModule(nn.Module):
         u2 = DeconvBNRelu(c, kernel_size=(2, 2), strides=(2, 2), name="up2")(u1, train=train)
 
         return u2 + skip + dw
+
+
+def adaptive_avg_pool(x, target: int):
+    """torch ``AdaptiveAvgPool2d(target)`` on NHWC via two static averaging
+    matrices (windows [floor(i*s/t), ceil((i+1)*s/t)) — exact semantics),
+    i.e. two small matmuls instead of a gather."""
+    s = x.shape[1]
+    m = np.zeros((target, s), np.float32)
+    for i in range(target):
+        lo, hi = (i * s) // target, -(-((i + 1) * s) // target)
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    mj = jnp.asarray(m, x.dtype)
+    x = jnp.einsum("ts,bshc->bthc", mj, x)
+    return jnp.einsum("ts,bhsc->bhtc", mj, x)
 
 
 def upsampling_plan(spatial_input_size: int, heatmap_size: int) -> list[tuple[int, int]]:
@@ -141,6 +158,7 @@ class SpatialAwareHeatmapHead(nn.Module):
         x = HourglassModule(512, name="hourglass")(x, train=train)
         x = ConvBNRelu(256, name="refine_out")(x, train=train)
 
+        tracker = self.spatial_input_size
         for j, (out_ch, stride) in enumerate(
             upsampling_plan(self.spatial_input_size, self.heatmap_size)
         ):
@@ -151,11 +169,16 @@ class SpatialAwareHeatmapHead(nn.Module):
                 padding=(1, 1),
                 name=f"up{j}",
             )(x, train=train)
+            tracker *= 2
 
         x = ConvBNRelu(64, name="pred_conv")(x, train=train)
         x = L.Conv(self.num_keypoints, kernel_size=(1, 1), padding=(0, 0), name="pred_out")(x)
 
-        if x.shape[1] != self.heatmap_size or x.shape[2] != self.heatmap_size:
+        # Bug-for-bug: the reference gates interpolation on its DOUBLING
+        # TRACKER, not the actual tensor size (pose_heads.py:316-345) — a
+        # tracker that lands exactly on heatmap_size skips the resize even
+        # when the real output is bigger.
+        if tracker != self.heatmap_size:
             x = L.bilinear_resize(x, (self.heatmap_size, self.heatmap_size))
         return x  # NHWC: (B, heatmap, heatmap, K)
 
@@ -243,7 +266,12 @@ class HeatmapHead(nn.Module):
                 output_padding=(1, 1),
                 name=f"up{j}",
             )(x, train=train)
-        if x.shape[-1] != 64:
+        if current > self.heatmap_size:
+            # Overshot: conv to 64 then AdaptiveAvgPool2d(target) exactly
+            # like the reference (pose_heads.py:86-96).
+            x = ConvBNRelu(64, name="adjust")(x, train=train)
+            x = adaptive_avg_pool(x, self.heatmap_size)
+        elif x.shape[-1] != 64:
             x = ConvBNRelu(64, name="adjust")(x, train=train)
         return L.Conv(self.num_keypoints, kernel_size=(1, 1), padding=(0, 0), name="pred")(x)
 

@@ -48,8 +48,3 @@ def decode_heatmaps(
 def heatmap_confidences(heatmaps: Array) -> Array:
     """Peak value per keypoint channel: (B, K, H, W) -> (B, K)."""
     return jnp.max(heatmaps, axis=(-2, -1))
-
-
-@jax.jit
-def decode_heatmaps_224(heatmaps: Array) -> Array:
-    return decode_heatmaps(heatmaps, (224, 224))

@@ -99,3 +99,59 @@ def test_lora_trainable_mask():
     backbone_trainable = [p for p, v in fm.items() if v and p[0] == "backbone"]
     assert backbone_trainable and all("lora_output" in p for p in backbone_trainable)
     assert all(v for p, v in fm.items() if p[0] == "pose_heads")
+
+
+def test_bridge_rules_follow_heatmap_size():
+    """Bridge rules must derive the upsampling-stage count from the model's
+    geometry: with output_heatmap_size=96 the heads build up0..up2, and a
+    rule table hardcoding 2 stages would silently skip up2 on save/restore."""
+    from dino_pose_tpu.io.checkpoint import rules_for_model
+
+    model = registry.create_model_from_config(
+        {"model_name": "test/vit-tiny", "num_keypoints": 24,
+         "output_heatmap_size": 96},
+        pretrained=False,
+    )
+    rules = rules_for_model(model)
+    rule_paths = {"/".join(r.flax_path) for r in rules}
+    assert any("up2" in p for p in rule_paths)
+    # Every head param in the built tree is covered by a rule.
+    from jax.tree_util import tree_flatten_with_path
+
+    from dino_pose_tpu.core.sharding import _path_str
+
+    tree_paths = {
+        "params/" + _path_str(p)
+        for p, _ in tree_flatten_with_path(model.variables["params"])[0]
+    }
+    head_paths = {p for p in tree_paths if "/pose_heads/" in p}
+    missing = head_paths - rule_paths
+    assert not missing, sorted(missing)[:5]
+    # And the exporter runs over the full tree without KeyErrors.
+    exported = tb.export_params(model.variables, rules)
+    assert any(".up2." in k or "upsampling.2" in k for k in exported)
+
+
+def test_adaptive_avg_pool_matches_torch():
+    import torch
+
+    from dino_pose_tpu.models.heads import adaptive_avg_pool
+
+    x = np.random.default_rng(3).standard_normal((2, 48, 48, 5)).astype(np.float32)
+    got = np.asarray(adaptive_avg_pool(jnp.asarray(x), 40))
+    want = (
+        torch.nn.AdaptiveAvgPool2d(40)(torch.tensor(x).permute(0, 3, 1, 2))
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mlp_heatmap_head_overshoot_pools_to_target():
+    from dino_pose_tpu.models.heads import HeatmapHead
+
+    head = HeatmapHead(heatmap_size=40)
+    x = jnp.ones((1, 384), jnp.float32)
+    variables = head.init(jax.random.key(0), x, train=False)
+    out = head.apply(variables, x, train=False)
+    assert out.shape == (1, 40, 40, 24), out.shape

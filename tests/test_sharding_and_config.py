@@ -117,9 +117,10 @@ def test_lr_schedule_overrides():
     assert s.lr < 1e-3
 
 
-def test_hourglass_rejects_odd_grid():
-    """Odd patch grids (e.g. 23x23 at 322 input) fail loudly with the
-    documented even-grid constraint instead of a broadcast shape error."""
+def test_hourglass_rejects_non_divisible_grid():
+    """Grids not divisible by 4 (23x23 at 322 input, but also even 22x22:
+    22 -> 11 -> 6 -> 12 -> 24) fail loudly with the documented constraint
+    instead of a broadcast shape error."""
     import jax
     import jax.numpy as jnp
     import pytest
@@ -127,8 +128,9 @@ def test_hourglass_rejects_odd_grid():
     from dino_pose_tpu.models.heads import HourglassModule
 
     m = HourglassModule(out_channels=32)
-    with pytest.raises(ValueError, match="even spatial grid"):
-        m.init(jax.random.key(0), jnp.zeros((1, 23, 23, 16)), train=False)
+    for grid in (23, 22):
+        with pytest.raises(ValueError, match="divisible by 4"):
+            m.init(jax.random.key(0), jnp.zeros((1, grid, grid, 16)), train=False)
 
 
 def test_non_divisible_shards_cover_all_and_stay_equal(coco):
