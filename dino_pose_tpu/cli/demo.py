@@ -20,6 +20,14 @@ VIDEO_EXTENSIONS = {".mp4", ".avi", ".mov", ".mkv", ".wmv", ".flv", ".webm", ".m
 GIF_EXTENSIONS = {".gif"}
 
 
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def is_video_file(file_path) -> bool:
     return pathlib.Path(file_path).suffix.lower() in VIDEO_EXTENSIONS | GIF_EXTENSIONS
 
@@ -125,6 +133,12 @@ def process_video(frames, predict, preprocessor, args, input_fps):
             plt.close(fig)
         print(f"Processed {min(start + bs, len(frames))}/{len(frames)} frames")
 
+    if not out_frames:
+        raise SystemExit(
+            f"Could not read any frames from {args.input} — unreadable, "
+            "corrupt, or missing-codec video (cv2.VideoCapture returned "
+            "no frames)."
+        )
     # Unify frame sizes (matplotlib can produce off-by-a-few differences).
     h = min(f.shape[0] for f in out_frames)
     w = min(f.shape[1] for f in out_frames)
@@ -173,7 +187,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Path to save visualization output (image/video/gif)")
     parser.add_argument("--threshold", type=float, default=0.5,
                         help="Confidence threshold for keypoint visualization")
-    parser.add_argument("--keypoint_label", type=bool, default=False,
+    # The reference declares type=bool here (demo.py:218), under which ANY
+    # non-empty value — including the string 'False' — parses as True; a
+    # wrong CLI parser is a usability bug, not an interchange contract, so
+    # parse real booleans while accepting the same spellings.
+    parser.add_argument("--keypoint_label", type=_str2bool, nargs="?",
+                        const=True, default=False,
                         help="Whether to show keypoint labels in visualization")
     parser.add_argument("--show_info", action="store_true",
                         help="Show model information before inference")

@@ -80,26 +80,27 @@ def export(checkpoint_path: str, output_path: str) -> str:
     """
     from dino_pose_tpu.io import checkpoint as ck
 
-    model = ck.load_model_smart(checkpoint_path)
     src = ck.load_checkpoint(checkpoint_path) if os.path.isfile(checkpoint_path) else {}
+    model = ck.load_model_smart(checkpoint_path, ckpt=src or None)
 
     if output_path.endswith(".mlpackage"):
-        try:
-            import coremltools  # noqa: F401
-        except ImportError:
-            pth_path = output_path[: -len(".mlpackage")] + ".pth"
-            _write_pth(model, src, pth_path)
-            print(
-                "coremltools is not installed in this environment; wrote the "
-                f"reference-schema checkpoint to {pth_path} instead.\n"
-                "On a machine with coremltools, finish with the reference "
-                f"exporter:\n  python export_coreml.py -c {pth_path} -o {output_path}"
-            )
-            return pth_path
-        raise NotImplementedError(
-            "Direct .mlpackage conversion requires tracing a torch module; "
-            "use the reference exporter on the emitted .pth."
+        # The final .mlpackage conversion traces a TORCH module
+        # (reference export_coreml.py:269-340), so regardless of whether
+        # coremltools is installed HERE the correct path is the same:
+        # write the reference-schema .pth this framework guarantees
+        # (strict-loads into the reference's own modules,
+        # tests/test_reference_interchange.py) and hand it to the
+        # unmodified reference exporter (recipe: docs/EXPORT_COREML.md).
+        pth_path = output_path[: -len(".mlpackage")] + ".pth"
+        _write_pth(model, src, pth_path)
+        print(
+            f"Wrote the reference-schema checkpoint to {pth_path}.\n"
+            "Finish with the reference exporter (needs coremltools + the "
+            "torch reference):\n"
+            f"  python export_coreml.py -c {pth_path} -o {output_path}\n"
+            "Full recipe: docs/EXPORT_COREML.md"
         )
+        return pth_path
 
     return _write_pth(model, src, output_path)
 

@@ -47,7 +47,9 @@ def print_backbones() -> None:
         print(f"   Default: '{family_name}' -> {data['default']}")
         print()
         for model_name, entry in registry.get_family_models(family_name).items():
-            cls = _REFERENCE_CLASS_NAMES[(family_name, False)]
+            # Families registered at runtime via register_backbone have no
+            # reference torch class — show a placeholder, don't crash.
+            cls = _REFERENCE_CLASS_NAMES.get((family_name, False), "(custom)")
             kp = entry.default_config.get("num_keypoints", 24)
             print(
                 f"  - {model_name:<34} | Class: {cls:<18} | LoRA: yes | Keypoints: {kp}"

@@ -362,19 +362,22 @@ def _model_from_ckpt_config(ckpt: dict) -> dict:
     raise ValueError("Checkpoint missing model configuration")
 
 
-def load_model_smart(model_path: str, eval_mode: bool = True) -> PoseModel:
+def load_model_smart(
+    model_path: str, eval_mode: bool = True, *, ckpt: dict | None = None
+) -> PoseModel:
     """Build a model from a checkpoint file, registry name or family name.
 
     Mirrors /root/reference/model/model_utils.py:285-393: ``.pth``/``.msgpack``
     files rebuild the architecture from the embedded config and load weights
     non-strictly; registry/family names create fresh (pretrained-backbone)
-    models.
+    models. ``ckpt`` lets a caller that already deserialized the file skip
+    the second (potentially multi-GB) load.
     """
     from dino_pose_tpu.models import registry
 
     if os.path.isfile(model_path) and model_path.endswith((".pth", ".msgpack")):
         print(f"Loading model from checkpoint: {model_path}")
-        ckpt = load_checkpoint(model_path)
+        ckpt = ckpt if ckpt is not None else load_checkpoint(model_path)
         config_model = _model_from_ckpt_config(ckpt)
         model = registry.create_model_from_config(config_model, pretrained=False)
 

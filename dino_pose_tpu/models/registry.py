@@ -189,10 +189,7 @@ def create_model_from_config(
     elif entry.family == "fastvit":
         from dino_pose_tpu.models.fastvit_pose import create_fastvit_pose
 
-        model = _with_print(
-            create_fastvit_pose(name, entry.variant, merged, rng, pretrained), merged, entry
-        )
-        return model
+        model = create_fastvit_pose(name, entry.variant, merged, rng, pretrained)
     else:
         raise ValueError(f"Unknown family {entry.family}")
     return _with_print(model, merged, entry)

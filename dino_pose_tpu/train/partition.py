@@ -26,6 +26,12 @@ def trainable_mask(params: dict, config_model: dict, family: str) -> dict:
     """
     use_lora = bool(config_model.get("use_lora", False))
     unfreeze_n = int(config_model.get("unfreeze_last_n_layers", 0) or 0)
+    if family != "dinov2":
+        # Unfreeze-last-N is a dinov2 feature (reference dinov2_pose.py
+        # semantics); other families train heads (+ LoRA) only. Guarded by
+        # family rather than by tree shape so a future backbone with
+        # layer<N>-named submodules cannot silently start unfreezing.
+        unfreeze_n = 0
     flat = traverse_util.flatten_dict(params)
 
     num_layers = 0
