@@ -44,7 +44,24 @@ def create_mesh(
             f"Mesh {spec.dp}x{spec.tp} needs {spec.dp * spec.tp} devices, "
             f"got {len(devices)}"
         )
-    dev_array = np.asarray(devices).reshape(spec.dp, spec.tp)
+    dev_array = None
+    if spec.tp > 1:
+        # ICI-aware layout: device enumeration order need not follow the
+        # physical torus on multi-chip slices, and a raw reshape can put a
+        # tensor-parallel group on non-neighbouring chips — every
+        # per-layer psum then rides slow links. mesh_utils picks a
+        # topology-aware assignment; fall back to the plain reshape for
+        # device subsets it cannot handle (e.g. hand-picked test subsets).
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                (spec.dp, spec.tp), devices=devices
+            )
+        except Exception:  # noqa: BLE001 — any topology failure -> reshape
+            dev_array = None
+    if dev_array is None:
+        dev_array = np.asarray(devices).reshape(spec.dp, spec.tp)
     mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
     # Pallas dispatch (ops/block.py) must know the platform the next traces
     # execute on: mesh devices can be a non-default platform (e.g. the

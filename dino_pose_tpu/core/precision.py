@@ -19,22 +19,6 @@ class Policy:
     compute_dtype: jnp.dtype = jnp.bfloat16
     output_dtype: jnp.dtype = jnp.float32
 
-    def cast_to_compute(self, tree):
-        return jax.tree.map(
-            lambda x: x.astype(self.compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            tree,
-        )
-
-    def cast_to_output(self, tree):
-        return jax.tree.map(
-            lambda x: x.astype(self.output_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            tree,
-        )
-
 
 DEFAULT_POLICY = Policy()
 FP32_POLICY = Policy(compute_dtype=jnp.float32)

@@ -100,8 +100,18 @@ def _precrop_rect(kps: np.ndarray, width: int, height: int) -> tuple[int, int, i
     ys = kps[:, 1]
     vx = xs[xs > 0]
     vy = ys[ys > 0]
+    if vx.size == 0 or vy.size == 0:
+        # Degenerate annotation (no positive-coordinate keypoints): fall
+        # back to the full image. The reference crashes on these
+        # (vx.max() of an empty array); one bad sample must not kill a
+        # multi-epoch run.
+        return 0, 0, width, height
     x_extent = vx.max() - vx.min()
     y_extent = vy.max() - vy.min()
+    if max(x_extent, y_extent) <= 0:
+        # Single visible keypoint (or all coincident): a 3x-bbox crop has
+        # zero area and the resize chain would divide by zero downstream.
+        return 0, 0, width, height
     new_extent = 3 * max(x_extent, y_extent)
     x_pad = (new_extent - x_extent) / 2.0
     y_pad = (new_extent - y_extent) / 2.0

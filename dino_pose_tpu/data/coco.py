@@ -55,6 +55,20 @@ class CocoPoseAnnotations:
                     f"No 3d keypoints found for image {img.get('file_name')}"
                 )
             z = np.asarray(ann["keypoints_z"], np.float32)
+            # Validate at LOAD time: a mixed-K annotation file (e.g. a
+            # 17-kp COCO person among 24-kp records) would otherwise
+            # surface epochs later as an opaque np.stack/broadcast error
+            # in whatever batch the odd sample lands in.
+            if self.num_keypoints and kps.shape[0] != self.num_keypoints:
+                raise ValueError(
+                    f"Inconsistent keypoint count in {img.get('file_name')}: "
+                    f"{kps.shape[0]} vs {self.num_keypoints} in earlier records"
+                )
+            if z.shape[0] != kps.shape[0]:
+                raise ValueError(
+                    f"keypoints_z length {z.shape[0]} != keypoint count "
+                    f"{kps.shape[0]} for image {img.get('file_name')}"
+                )
             self.num_keypoints = kps.shape[0]
             self.records.append(
                 PoseRecord(

@@ -128,9 +128,7 @@ class PoseDataset:
             kps = kps.astype(np.float32)
             z3d = z3d.astype(np.float32)
 
-        z_coords = np.asarray(
-            kp_math.normalize_z(kps.astype(np.float32), z3d.astype(np.float32))
-        )
+        z_coords = kp_math.normalize_z_np(kps, z3d)
         sample = {
             "image": self.image_processor(img)["pixel_values"][0],
             "2d_keypoints": kps.astype(np.float32),
@@ -153,9 +151,7 @@ class PoseDataset:
             model_input=self.image_processor.crop,
             shortest_edge=self.image_processor.shortest_edge,
         )
-        z_coords = np.asarray(
-            kp_math.normalize_z(kps.astype(np.float32), z3d.astype(np.float32))
-        )
+        z_coords = kp_math.normalize_z_np(kps, z3d)
         return {
             "canvas": canvas,
             "affine": wspec.affine,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dino_pose_tpu.constants import COM_WEIGHTS
 
@@ -41,3 +42,20 @@ def denormalize_z(pred_z: Array, target_z3d: Array, target_keypoints: Array) -> 
     com_w = jnp.asarray(COM_WEIGHTS, jnp.float32)
     com = jnp.sum(target_z3d * com_w, axis=-1, keepdims=True)
     return pred_z * z_scale(target_keypoints)[..., None] + com
+
+
+def normalize_z_np(keypoints: "np.ndarray", z3d: "np.ndarray") -> "np.ndarray":
+    """numpy twin of :func:`normalize_z` for the host input pipeline: a jit
+    dispatch + device round-trip per 24-float sample (one per loader thread
+    per record) costs far more than the math itself. Formula-identical,
+    including the zeroed-entry std quirk."""
+    kp = np.asarray(keypoints, np.float32)
+    z3 = np.asarray(z3d, np.float32)
+    vis = (kp[..., 2] != 0).astype(np.float32)
+    x = kp[..., 0] * vis
+    y = kp[..., 1] * vis
+    scale = (x.std(axis=-1) + y.std(axis=-1)) / 2.0
+    scale = np.where(scale == 0, _EPS32, scale).astype(np.float32)
+    com_w = np.asarray(COM_WEIGHTS, np.float32)
+    z = z3 - np.sum(z3 * com_w, axis=-1, keepdims=True)
+    return (z / scale[..., None]).astype(np.float32)

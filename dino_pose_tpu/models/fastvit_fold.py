@@ -167,10 +167,15 @@ def channel_moments(x: Array, strides: tuple[int, int] = (1, 1)):
 
 
 def branch_stats(y: Array):
-    """f32 (mean, biased var, count) of a materialised branch output."""
+    """f32 (mean, biased var, count) of a materialised branch output.
+
+    Two-pass (shifted) variance, matching ``nn.layers.BatchNorm``; the
+    moment shortcuts in :func:`channel_moments` are inherently one-pass
+    (that is the trick) and acceptable for post-normalisation activations
+    with modest means."""
     yf = y.astype(jnp.float32)
     mean = jnp.mean(yf, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+    var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
     return mean, var, y.shape[0] * y.shape[1] * y.shape[2]
 
 

@@ -213,7 +213,10 @@ class BatchNorm(nn.Module):
             reduce_axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            # Two-pass (shifted) variance, torch semantics: the one-pass
+            # E[x^2] - E[x]^2 form cancels catastrophically in f32 for
+            # large-mean activations (can even go negative -> rsqrt NaN).
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             n = x.size // features
             unbiased = var * (n / max(1, n - 1))
             if not self.is_initializing():

@@ -35,8 +35,12 @@ def _maybe_decode(keypoints_or_heatmaps, image_size):
     from dino_pose_tpu.ops.decode import decode_heatmaps, heatmap_confidences
 
     if arr.ndim == 3 and arr.shape[-1] not in (2, 3):
-        if arr.shape[0] > arr.shape[-1]:  # HWK -> KHW
-            arr = np.transpose(arr, (2, 0, 1))
+        # Heatmaps are square: (K, H, W) has equal TRAILING dims,
+        # (H, W, K) equal LEADING dims. (A size>K comparison mis-transposed
+        # any heatmap smaller than K=24.) The all-equal case (K == H == W)
+        # is genuinely ambiguous — treat as the model-native (K, H, W).
+        if arr.shape[1] != arr.shape[2] and arr.shape[0] == arr.shape[1]:
+            arr = np.transpose(arr, (2, 0, 1))  # HWK -> KHW
         kps = np.asarray(decode_heatmaps(arr[None], image_size))[0]
         conf = np.asarray(heatmap_confidences(arr[None]))[0]
         return kps, conf
