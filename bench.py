@@ -198,6 +198,14 @@ def bench_input(n_images: int = 64, batch_size: int = 32, num_workers: int = 4) 
 
 
 def main():
+    import os
+
+    # Honor an explicit JAX_PLATFORMS env var over the environment's
+    # TPU-plugin sitecustomize (which rewrites jax_platforms to "axon,cpu"
+    # at import) — a CPU-pinned bench run would otherwise hang initializing
+    # a dead TPU tunnel instead of benching on CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from dino_pose_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -211,6 +219,31 @@ def main():
                     help="square input resolution (dinov2 supports e.g. 518)")
     args = ap.parse_args()
 
+    try:
+        result = _run_mode(args)
+    except RuntimeError as e:
+        # A dead TPU tunnel surfaces as "Unable to initialize backend ...
+        # UNAVAILABLE" (round-3 outage produced a 30-line traceback and a
+        # null BENCH record). Emit one structured line so the driver can
+        # tell an outage from a regression at a glance.
+        msg = str(e)
+        if "Unable to initialize backend" in msg or "UNAVAILABLE" in msg:
+            print(json.dumps({
+                "metric": "finetune_images_per_sec_per_chip" if args.mode == "train"
+                else ("infer_p50_latency_ms" if args.mode == "infer"
+                      else "input_pipeline_samples_per_sec"),
+                "value": None,
+                "unit": "images/sec/chip" if args.mode == "train" else "ms",
+                "vs_baseline": None,
+                "error": "tpu_unavailable",
+                "detail": msg.splitlines()[-1][:300],
+            }))
+            raise SystemExit(0)
+        raise
+    print(json.dumps(result))
+
+
+def _run_mode(args) -> dict:
     if args.mode == "train":
         r = bench_train(args.batch_size, args.steps, args.model, not args.no_lora,
                         image_size=args.image_size)
@@ -241,7 +274,7 @@ def main():
             "vs_baseline": r["speedup"],  # vs this framework's own host path
             "extra": r,
         }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

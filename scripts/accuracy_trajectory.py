@@ -25,6 +25,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit JAX_PLATFORMS env var over the environment's TPU-plugin
+# sitecustomize, which rewrites jax_platforms to "axon,cpu" at import — a
+# CPU-pinned run would otherwise hang initializing a dead TPU tunnel.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 K = 24
 
 

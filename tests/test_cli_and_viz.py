@@ -134,3 +134,33 @@ def test_benchmark_cli(ckpt, capsys):
     result = benchmark_model(ckpt, warmup=1, iters=2)
     assert result["avg_ms"] > 0 and result["device_ms"] > 0
     assert result["params"] > 0
+
+
+def test_bench_emits_structured_error_on_dead_backend(monkeypatch, capsys):
+    """A dead TPU tunnel must produce ONE parseable JSON line (rc 0), not a
+    raw traceback — the round-3 outage left BENCH_r03.json with parsed: null."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    def boom(args):
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+            "setup/compile error (Unavailable)."
+        )
+
+    monkeypatch.setattr(bench, "_run_mode", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--mode", "train"])
+    monkeypatch.setattr(
+        "dino_pose_tpu.utils.cache.enable_persistent_cache", lambda: None
+    )
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["error"] == "tpu_unavailable"
+    assert parsed["metric"] == "finetune_images_per_sec_per_chip"
+    assert parsed["value"] is None
