@@ -13,12 +13,18 @@ exactly the ``|i - c| <= 2`` mask.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
 
 _WINDOW = 2  # reference `padding = 2` -> 5x5 window
+
+# DINO_POSE_TPU_DECODE_GUARD=1 replaces the reference's NaN-on-all-zero-window
+# decode with the argmax cell centre (see comment at the division below).
+_GUARD_ZERO_WINDOW = os.environ.get("DINO_POSE_TPU_DECODE_GUARD", "0") == "1"
 
 
 def decode_heatmaps(
@@ -38,8 +44,27 @@ def decode_heatmaps(
     )
     win = jnp.where(mask, hm, 0.0)
     total = jnp.sum(win, axis=(-2, -1))
-    loc_x = jnp.sum((cols.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
-    loc_y = jnp.sum((rows.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
+    # A window summing to exactly 0 (all-zero channel, e.g. an untrained
+    # model) divides 0/0 — NaN coordinates, matching the reference's numpy
+    # division (/root/reference/src/model_utils.py:44-47) bug-for-bug; PCKh
+    # absorbs the NaNs as misses. Guarded to the argmax cell centre when the
+    # flag is set, purely as an eval-debugging aid.
+    if _GUARD_ZERO_WINDOW:
+        safe = total > 0.0
+        denom = jnp.where(safe, total, 1.0)
+        loc_x = jnp.where(
+            safe,
+            jnp.sum((cols.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / denom,
+            cx.astype(jnp.float32) + 0.5,
+        )
+        loc_y = jnp.where(
+            safe,
+            jnp.sum((rows.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / denom,
+            cy.astype(jnp.float32) + 0.5,
+        )
+    else:
+        loc_x = jnp.sum((cols.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
+        loc_y = jnp.sum((rows.astype(jnp.float32) + 0.5) * win, axis=(-2, -1)) / total
 
     tw, th = target_size
     return jnp.stack([loc_x / w * tw, loc_y / h * th], axis=-1)

@@ -194,3 +194,25 @@ def test_pck_bbox_sanity(rng):
         metrics.pck_bbox(jnp.asarray(target[..., :2] + 1e5), jnp.asarray(target), 0.2)
     )
     np.testing.assert_allclose(awful, 0.0)
+
+
+def test_decode_zero_heatmap_nan_and_guard(monkeypatch):
+    """All-zero channel: NaN coords bug-for-bug with the reference's numpy
+    division (src/model_utils.py:44-47); DINO_POSE_TPU_DECODE_GUARD=1 swaps
+    in the argmax cell centre for eval debugging on untrained models."""
+    from dino_pose_tpu.ops import decode
+
+    hm = np.zeros((1, 2, 48, 48), np.float32)
+    hm[0, 1, 10, 20] = 1.0  # second channel has a real peak
+
+    out = decode.decode_heatmaps(jnp.asarray(hm), (224, 224))
+    assert np.isnan(np.asarray(out)[0, 0]).all()
+    assert np.isfinite(np.asarray(out)[0, 1]).all()
+
+    monkeypatch.setattr(decode, "_GUARD_ZERO_WINDOW", True)
+    out = np.asarray(decode.decode_heatmaps(jnp.asarray(hm), (224, 224)))
+    assert np.isfinite(out).all()
+    # Guarded zero channel lands on the argmax cell centre (cell 0,0).
+    np.testing.assert_allclose(out[0, 0], [0.5 / 48 * 224, 0.5 / 48 * 224], atol=1e-4)
+    # Real peak unchanged by the guard.
+    np.testing.assert_allclose(out[0, 1], [20.5 / 48 * 224, 10.5 / 48 * 224], atol=1e-4)
