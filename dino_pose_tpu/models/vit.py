@@ -310,6 +310,21 @@ class Block(nn.Module):
             x2 = x + o * ls1.astype(o.dtype)
             mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
             return dispatch_mlp_part_stream(x2, mp, cfg.layer_norm_eps)
+        elif cfg.hidden_dropout == 0.0 and stream_fused_enabled(
+            d, x.shape[1], x.dtype.itemsize, cfg.num_heads,
+            mlp_hidden=d * cfg.mlp_ratio, for_training=True,
+        ):
+            # TRAINABLE big-D block (unfreeze-N on dinov2-base/large, where
+            # neither the monolithic nor the resident-half backward fits
+            # VMEM): streaming forwards with FULL streaming backwards —
+            # dx + hidden-block-major dw for the MLP half, dx + head-group-
+            # major dw for the attention half (exact unfused vjp fallback
+            # when no plan fits, e.g. S=1370 at D=1024).
+            ap = AttnParams(g1, b1, wqkv, bqkv, wo, bo)
+            o = dispatch_attn_part_stream(x, ap, cfg.num_heads, cfg.layer_norm_eps)
+            x2 = x + o * ls1.astype(o.dtype)
+            mp = MlpParams(g2, b2, w1, bf1, w2, bf2, ls2)
+            return dispatch_mlp_part_stream(x2, mp, cfg.layer_norm_eps)
         if not (self.frozen or deterministic) and cfg.hidden_dropout > 0.0:
             # In-block dropout, HF semantics: Dinov2SelfOutput applies
             # hidden_dropout after the attention out-projection (before

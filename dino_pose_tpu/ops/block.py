@@ -1198,7 +1198,7 @@ def _mlp_part_bwd(eps, assume_frozen_weights, residuals, dy):
             # D >= 768; the STREAMING activation-only dx kernel computes the
             # identical backward (fused_mlp_part and fused_mlp_part_stream
             # share the y = x2 + ls2*(fc2(gelu(fc1(LN(x2)))) + bf2) math).
-            return _mlp_stream_bwd(eps, True, (x2, mp), dy)
+            return _mlp_stream_bwd(eps, True, (x2, mp, None), dy)
         _, args, _ = _prep_block_args(x2p, mp, list(MlpParams._fields))
         xspec = pl.BlockSpec(
             (1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1526,6 +1526,34 @@ def _stream_mlp_plan(
     return None
 
 
+def _stream_mlp_dw_bytes(g: int, bh: int, sp: int, d: int, itemsize: int) -> int:
+    """Scoped-VMEM bytes model for the hidden-block-major dw pass:
+    2x-buffered x2 + dy streams with f32 upcasts and LN temporaries, the
+    (g*Sp, bh) hidden block in native + two f32 precisions (h1 recompute,
+    gelu-grad product), 2x-buffered w1/w2 blocks, and the RESIDENT f32
+    dw1/dw2 gradient blocks (counted 2x for the flush buffer)."""
+    i = itemsize
+    acts = g * sp * d * (4 * i + 12) + g * sp * bh * (2 * i + 12)
+    weights = 4 * d * bh * i
+    grads = 16 * d * bh + 8 * bh
+    return acts + weights + grads
+
+
+def _stream_mlp_dw_plan(sp: int, d: int, itemsize: int, batch: int, hidden: int):
+    """(rows_per_program g, hidden block bh) for the streaming dw kernel,
+    or None when nothing fits. Larger g amortises the per-block activation
+    re-reads; bh trades weight-block residency against MXU call size."""
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        for bh in (2048, 1024, 512, 256, 128):
+            if hidden % bh:
+                continue
+            if _stream_mlp_dw_bytes(g, bh, sp, d, itemsize) <= _STREAM_VMEM_BUDGET:
+                return g, bh
+    return None
+
+
 def _attn_heads_per_block(num_heads: int, dh: int) -> int | None:
     """Heads per streamed weight block: Mosaic needs the block's lane
     (last) dimension divisible by 128, so groups of ceil(128/dh) heads
@@ -1564,6 +1592,45 @@ def _stream_attn_bytes(
         + 8 * g * sp * gw * itemsize
     weights = 8 * d * gw * itemsize
     return acts + weights
+
+
+def _stream_attn_bwd_bytes(
+    g: int, hpb: int, sp: int, d: int, dh: int, itemsize: int, dw: bool
+) -> int:
+    """Scoped-VMEM bytes model for the streaming attention backward passes.
+
+    Both recompute the group projections and per-head probabilities: x + dy
+    streams (2x-buffered) with f32 upcasts, LN scratch (+ f32 da accumulator
+    in the dx pass), three live (g, Sp, Sp) f32 score-class tiles (s/probs,
+    dp, ds), and ~7 (g, Sp, gw) group tensors (q/k/v, dctx, dq/dk/dv — plus
+    ctx in the dw pass). The dw pass swaps the da accumulator for the
+    RESIDENT f32 gradient blocks (3 qkv-column + 1 out-row, counted 2x for
+    the flush buffer)."""
+    i = itemsize
+    gw = hpb * dh
+    acts = g * sp * d * (7 * i + 16) + 3 * g * sp * sp * 4 \
+        + g * sp * gw * (8 if dw else 7) * (i + 2)
+    weights = 8 * d * gw * i
+    grads = 32 * d * gw if dw else 0
+    return acts + weights + grads
+
+
+def _stream_attn_bwd_plan(
+    sp: int, d: int, dh: int, itemsize: int, batch: int, num_heads: int,
+    dw: bool,
+):
+    """(rows_per_program g, heads_per_block) for a streaming attention
+    backward pass, or None when nothing fits."""
+    hpb = _attn_heads_per_block(num_heads, dh)
+    if hpb is None:
+        return None
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        if _stream_attn_bwd_bytes(g, hpb, sp, d, dh, itemsize, dw) \
+                <= _STREAM_VMEM_BUDGET:
+            return g, hpb
+    return None
 
 
 def _mlp_stream_kernel(
@@ -1625,6 +1692,118 @@ def _mlp_stream_dx_kernel(
         dx2_ref[...] = (dy + _ln_bwd_dx(acc_ref[...], xhat2, r2, g2[0])).astype(dt)
 
 
+def _mlp_stream_train_kernel(
+    x2_ref, g2, b2, w1_ref, bf1_ref, w2_ref, bf2, ls2,
+    y_ref, h2_ref, m_ref, acc_ref, *, eps: float, n_blocks: int,
+):
+    """Forward + saved pre-LayerScale output ``h2`` (the residual the full
+    streaming backward needs for the LayerScale cotangent; bf16, matching
+    the non-streaming ``_mlp_bwd_kernel``'s recomputed-h2 precision)."""
+    j = pl.program_id(1)
+    x2 = x2_ref[...]                                   # (g, Sp, D)
+    dt = x2.dtype
+    gg, sp, d = x2.shape
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = _layernorm(x2, g2[0], b2[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m2 = m_ref[...].reshape(gg * sp, d)
+    h1 = (
+        _mm(m2, w1_ref[...], (1,), (0,)).astype(dt) + bf1_ref[0].astype(dt)
+    )
+    h1 = _gelu_exact(h1)
+    acc_ref[...] += _mm(h1, w2_ref[...], (1,), (0,)).reshape(gg, sp, d)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        h2 = acc_ref[...] + bf2[0]
+        h2_ref[...] = h2.astype(dt)
+        y_ref[...] = x2 + (h2 * ls2[0]).astype(dt)
+
+
+def _mlp_stream_dx_full_kernel(
+    x2_ref, dy_ref, g2, b2, w1_ref, bf1_ref, w2_ref, ls2,
+    dx2_ref, dg2_ref, db2_ref, m_ref, acc_ref, *, eps: float, n_blocks: int,
+):
+    """Streaming backward dx pass WITH the LayerNorm parameter cotangents:
+    identical dataflow to ``_mlp_stream_dx_kernel`` plus (1, D) f32
+    accumulators for dgamma2/dbeta2 (constant-index outputs stay resident
+    for the whole grid, so cross-row accumulation at j == n_blocks-1 is
+    safe)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x2 = x2_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)               # (g, Sp, D)
+    dt = x2.dtype
+    gg, sp, d = x2.shape
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = _layernorm(x2, g2[0], b2[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m2 = m_ref[...].reshape(gg * sp, d)
+    h1 = (
+        _mm(m2, w1_ref[...], (1,), (0,)).astype(dt) + bf1_ref[0].astype(dt)
+    )
+    dh2b = (dy * ls2[0]).astype(dt).reshape(gg * sp, d)
+    dg = _mm(dh2b, w2_ref[...], (1,), (1,))            # (g*Sp, bh) f32
+    dh1 = (dg * _gelu_grad(h1.astype(jnp.float32))).astype(dt)
+    acc_ref[...] += _mm(dh1, w1_ref[...], (1,), (1,)).reshape(gg, sp, d)
+
+    @pl.when((j == n_blocks - 1) & (i == 0))
+    def _init_ln():
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        dm = acc_ref[...]
+        _, xhat2, r2 = _ln_fwd_stats(x2, g2[0], b2[0], eps)
+        dg2_ref[...] += jnp.sum(dm * xhat2, axis=(0, 1))[None, :]
+        db2_ref[...] += jnp.sum(dm, axis=(0, 1))[None, :]
+        dx2_ref[...] = (dy + _ln_bwd_dx(dm, xhat2, r2, g2[0])).astype(dt)
+
+
+def _mlp_stream_dw_kernel(
+    x2_ref, dy_ref, g2, b2, w1_ref, bf1_ref, w2_ref, ls2,
+    dw1_ref, dbf1_ref, dw2_ref, *, eps: float, n_blocks: int,
+):
+    """Streaming weight-cotangent pass: hidden-block-MAJOR grid
+    ``(n_blocks, B/g)`` so each (D, bh)/(bh, D) gradient block's index map is
+    invariant over the inner row sweep — it stays resident in VMEM while
+    every batch row streams through, is written out once per hidden block,
+    and is never revisited (Mosaic-safe accumulation). Activations re-stream
+    per hidden block; weight traffic is read-once per block."""
+    i = pl.program_id(1)
+    x2 = x2_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)
+    dt = x2.dtype
+    gg, sp, d = x2.shape
+
+    m2 = _layernorm(x2, g2[0], b2[0], eps).reshape(gg * sp, d)
+    h1 = (
+        _mm(m2, w1_ref[...], (1,), (0,)).astype(dt) + bf1_ref[0].astype(dt)
+    )
+    act = _gelu_exact(h1)
+    dp = (dy * ls2[0]).astype(dt).reshape(gg * sp, d)
+    dg = _mm(dp, w2_ref[...], (1,), (1,))              # (g*Sp, bh) f32
+    dh1 = dg * _gelu_grad(h1.astype(jnp.float32))
+    dh1b = dh1.astype(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dbf1_ref[...] = jnp.zeros_like(dbf1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    dw1_ref[...] += _mm(m2, dh1b, (0,), (0,))          # (D, bh) f32
+    dbf1_ref[...] += jnp.sum(dh1, axis=0)[None, :]
+    dw2_ref[...] += _mm(act, dp, (0,), (0,))           # (bh, D) f32
+
+
 def _attn_stream_kernel(
     x_ref, g1, b1, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo,
     o_ref, a_ref, acc_ref,
@@ -1684,6 +1863,153 @@ def _attn_stream_kernel(
     @pl.when(hg == n_groups - 1)
     def _fin():
         o_ref[...] = (acc_ref[...] + bo[0]).astype(dt)
+
+
+def _attn_group_bwd_core(
+    a2, dy, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref,
+    *, heads_per_block: int, valid_len: int, dt, gg: int, sp: int,
+):
+    """Shared recompute-and-differentiate core for one attention head group:
+    returns (dqg, dkg, dvg, ctx, dctx) as (g, Sp, gw)/(g*Sp, gw) tensors.
+    Mirrors ``_attn_bwd_kernel``'s per-head math, batched over the g rows
+    with single-contraction batched dot_generals (Mosaic lowers those; only
+    batch+row double contractions don't — the 2-D weight products below
+    collapse (g, Sp) first)."""
+    gw = wq_ref.shape[1]
+    dh = gw // heads_per_block
+    scale = dh**-0.5
+
+    def group_proj(w_ref, b_ref):
+        return (
+            _mm(a2, w_ref[...], (1,), (0,)).astype(dt) + b_ref[0].astype(dt)
+        ).reshape(gg, sp, gw)
+
+    qg = group_proj(wq_ref, bq_ref)
+    kg = group_proj(wk_ref, bk_ref)
+    vg = group_proj(wv_ref, bv_ref)
+    dob = dy.astype(dt).reshape(gg * sp, -1)
+    dctx = _mm(dob, wo_ref[...], (1,), (1,)).astype(dt).reshape(gg, sp, gw)
+
+    bmm = lambda x, y, cx, cy: jax.lax.dot_general(
+        x, y, dimension_numbers=(((cx,), (cy,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq_parts, dk_parts, dv_parts, ctx_parts = [], [], [], []
+    for t in range(heads_per_block):
+        sl = slice(t * dh, (t + 1) * dh)
+        q, k, v = qg[:, :, sl], kg[:, :, sl], vg[:, :, sl]
+        s = bmm(q, k, 2, 2) * scale                    # (g, Sp, Sp) f32
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
+        pb = probs.astype(dt)
+        dctx_t = dctx[:, :, sl]
+        ctx_parts.append(bmm(pb, v, 2, 1).astype(dt))
+        dp = bmm(dctx_t, v, 2, 2)                       # (g, Sp, Sp) f32
+        ds = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(dt)
+        dq_parts.append((bmm(dsb, k, 2, 1) * scale).astype(dt))
+        dk_parts.append((bmm(dsb, q, 1, 1) * scale).astype(dt))
+        dv_parts.append(bmm(pb, dctx_t, 1, 1).astype(dt))
+    dqg = jnp.concatenate(dq_parts, axis=-1)
+    dkg = jnp.concatenate(dk_parts, axis=-1)
+    dvg = jnp.concatenate(dv_parts, axis=-1)
+    ctx = jnp.concatenate(ctx_parts, axis=-1)
+    return dqg, dkg, dvg, ctx, dctx
+
+
+def _attn_stream_dx_kernel(
+    x_ref, dy_ref, g1, b1, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wo_ref, dx_ref, dg1_ref, db1_ref, a_ref, acc_ref,
+    *, heads_per_block: int, n_groups: int, eps: float, valid_len: int,
+):
+    """Streaming attention backward, dx pass: da accumulates in scratch over
+    the inner head-group sweep; the LN backward and its parameter cotangents
+    finalize at the last group. dy here is the cotangent of the PRE-LayerScale
+    output o (``attn_part_math`` contract — LayerScale/residual live outside)."""
+    i = pl.program_id(0)
+    hg = pl.program_id(1)
+    x = x_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)               # (g, Sp, D) = do
+    dt = x.dtype
+    gg, sp, d = x.shape
+
+    @pl.when(hg == 0)
+    def _init():
+        a_ref[...] = _layernorm(x, g1[0], b1[0], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a2 = a_ref[...].reshape(gg * sp, d)
+    dqg, dkg, dvg, _, _ = _attn_group_bwd_core(
+        a2, dy, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref,
+        heads_per_block=heads_per_block, valid_len=valid_len,
+        dt=dt, gg=gg, sp=sp,
+    )
+    gw = wq_ref.shape[1]
+    da = (
+        _mm(dqg.reshape(gg * sp, gw), wq_ref[...], (1,), (1,))
+        + _mm(dkg.reshape(gg * sp, gw), wk_ref[...], (1,), (1,))
+        + _mm(dvg.reshape(gg * sp, gw), wv_ref[...], (1,), (1,))
+    )
+    acc_ref[...] += da.reshape(gg, sp, d)
+
+    @pl.when((hg == n_groups - 1) & (i == 0))
+    def _init_ln():
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    @pl.when(hg == n_groups - 1)
+    def _fin():
+        daf = acc_ref[...]
+        _, xhat1, r1 = _ln_fwd_stats(x, g1[0], b1[0], eps)
+        dg1_ref[...] += jnp.sum(daf * xhat1, axis=(0, 1))[None, :]
+        db1_ref[...] += jnp.sum(daf, axis=(0, 1))[None, :]
+        dx_ref[...] = _ln_bwd_dx(daf, xhat1, r1, g1[0]).astype(dt)
+
+
+def _attn_stream_dw_kernel(
+    x_ref, dy_ref, g1, b1, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wo_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref, dwo_ref,
+    *, heads_per_block: int, n_groups: int, eps: float, valid_len: int,
+):
+    """Streaming attention backward, dw pass: head-group-MAJOR grid
+    ``(n_groups, B/g)`` keeps each group's q/k/v column-gradient and
+    out-projection row-gradient blocks resident in VMEM across the inner
+    row sweep (same Mosaic-safe accumulation as ``_mlp_stream_dw_kernel``)."""
+    i = pl.program_id(1)
+    x = x_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)
+    dt = x.dtype
+    gg, sp, d = x.shape
+    gw = wq_ref.shape[1]
+
+    a2 = _layernorm(x, g1[0], b1[0], eps).reshape(gg * sp, d)
+    dqg, dkg, dvg, ctx, _ = _attn_group_bwd_core(
+        a2, dy, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref,
+        heads_per_block=heads_per_block, valid_len=valid_len,
+        dt=dt, gg=gg, sp=sp,
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+                    dwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    dob = dy.astype(dt).reshape(gg * sp, d)
+    dq2 = dqg.reshape(gg * sp, gw)
+    dk2 = dkg.reshape(gg * sp, gw)
+    dv2 = dvg.reshape(gg * sp, gw)
+    dwq_ref[...] += _mm(a2, dq2, (0,), (0,))           # (D, gw) f32
+    dwk_ref[...] += _mm(a2, dk2, (0,), (0,))
+    dwv_ref[...] += _mm(a2, dv2, (0,), (0,))
+    dbq_ref[...] += jnp.sum(dq2.astype(jnp.float32), axis=0)[None, :]
+    dbk_ref[...] += jnp.sum(dk2.astype(jnp.float32), axis=0)[None, :]
+    dbv_ref[...] += jnp.sum(dv2.astype(jnp.float32), axis=0)[None, :]
+    dwo_ref[...] += _mm(ctx.reshape(gg * sp, gw), dob, (0,), (0,))  # (gw, D)
 
 
 def _mlp_stream_call(kernel, extra_in, x2p, mp_names, mp, eps, g, bh, out_dtype):
@@ -1755,23 +2081,184 @@ def fused_mlp_part_stream(
     return out[:, :s, :] if sp != s else out
 
 
+def _mlp_stream_train_call(x2p, mp, eps, g, bh):
+    """(y, h2) from the train-forward streaming kernel (h2 = pre-LayerScale
+    MLP output, saved as a backward residual)."""
+    b, sp, d = x2p.shape
+    names = ["g2", "b2", "w1", "bf1", "w2", "bf2", "ls2"]
+    _, vecs, _ = _prep_block_args(x2p, mp, names)
+    named = dict(zip(names, vecs))
+    wdt = x2p.dtype
+    n_blocks = mp.w1.shape[-1] // bh
+
+    xspec = pl.BlockSpec((g, sp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    w1spec = pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    bf1spec = pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mlp_stream_train_kernel, eps=eps, n_blocks=n_blocks),
+        grid=(b // g, n_blocks),
+        in_specs=[xspec, vspec(named["g2"]), vspec(named["b2"]), w1spec,
+                  bf1spec, w2spec, vspec(named["bf2"]), vspec(named["ls2"])],
+        out_specs=[xspec, xspec],
+        out_shape=[jax.ShapeDtypeStruct((b, sp, d), x2p.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((g, sp, d), x2p.dtype),
+            pltpu.VMEM((g, sp, d), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x2p, named["g2"], named["b2"], mp.w1.astype(wdt), named["bf1"],
+      mp.w2.astype(wdt), named["bf2"], named["ls2"])
+
+
+def _mlp_stream_dx_full_call(x2p, dyp, mp, eps, g, bh):
+    """(dx2, dg2, db2) from the extended streaming dx kernel."""
+    b, sp, d = x2p.shape
+    names = ["g2", "b2", "w1", "bf1", "w2", "ls2"]
+    _, vecs, _ = _prep_block_args(x2p, mp, names)
+    named = dict(zip(names, vecs))
+    wdt = x2p.dtype
+    n_blocks = mp.w1.shape[-1] // bh
+
+    xspec = pl.BlockSpec((g, sp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    w1spec = pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    bf1spec = pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    lnspec = pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mlp_stream_dx_full_kernel, eps=eps, n_blocks=n_blocks),
+        grid=(b // g, n_blocks),
+        in_specs=[xspec, xspec, vspec(named["g2"]), vspec(named["b2"]),
+                  w1spec, bf1spec, w2spec, vspec(named["ls2"])],
+        out_specs=[xspec, lnspec, lnspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sp, d), x2p.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, sp, d), x2p.dtype),
+            pltpu.VMEM((g, sp, d), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x2p, dyp, named["g2"], named["b2"], mp.w1.astype(wdt), named["bf1"],
+      mp.w2.astype(wdt), named["ls2"])
+
+
+def _mlp_stream_dw_call(x2p, dyp, mp, eps, g, bh):
+    """(dw1, dbf1, dw2) from the hidden-block-major streaming dw kernel."""
+    b, sp, d = x2p.shape
+    names = ["g2", "b2", "w1", "bf1", "w2", "ls2"]
+    _, vecs, _ = _prep_block_args(x2p, mp, names)
+    named = dict(zip(names, vecs))
+    wdt = x2p.dtype
+    hidden = mp.w1.shape[-1]
+    n_blocks = hidden // bh
+
+    # Hidden-block-MAJOR grid: j = program_id(0), rows inner.
+    xspec = pl.BlockSpec((g, sp, d), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda j, i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    w1spec = pl.BlockSpec((d, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    bf1spec = pl.BlockSpec((1, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((bh, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mlp_stream_dw_kernel, eps=eps, n_blocks=n_blocks),
+        grid=(n_blocks, b // g),
+        in_specs=[xspec, xspec, vspec(named["g2"]), vspec(named["b2"]),
+                  w1spec, bf1spec, w2spec, vspec(named["ls2"])],
+        out_specs=[w1spec, bf1spec, w2spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, d), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x2p, dyp, named["g2"], named["b2"], mp.w1.astype(wdt), named["bf1"],
+      mp.w2.astype(wdt), named["ls2"])
+
+
 def _mlp_stream_fwd(x2, mp, eps, assume_frozen_weights=False):
-    return fused_mlp_part_stream(x2, mp, eps, assume_frozen_weights), (x2, mp)
-
-
-def _mlp_stream_bwd(eps, assume_frozen_weights, residuals, dy):
-    x2, mp = residuals
-    if not assume_frozen_weights:
-        _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
-        return vjp(dy)
+    if assume_frozen_weights:
+        return fused_mlp_part_stream(x2, mp, eps, assume_frozen_weights), (
+            x2, mp, None
+        )
+    # Trainable weights: run the train-forward variant that also saves the
+    # pre-LayerScale output h2 (the LayerScale cotangent residual).
     b, s, d = x2.shape
     sp = -(-s // 8) * 8
-    pad = [(0, 0), (0, sp - s), (0, 0)]
-    x2p = jnp.pad(x2, pad) if sp != s else x2
-    dyp = jnp.pad(dy, pad) if sp != s else dy
+    x2p = jnp.pad(x2, [(0, 0), (0, sp - s), (0, 0)]) if sp != s else x2
+    # The dx=True plan over-reserves vs the train forward's true working set
+    # (extra dy stream vs the h2 output stream) — reused as a safe bound.
     plan = _stream_mlp_plan(
         sp, d, x2.dtype.itemsize, b, dx=True, hidden=mp.w1.shape[-1]
     )
+    if plan is None:
+        return fused_mlp_part_stream(x2, mp, eps, assume_frozen_weights), (
+            x2, mp, None
+        )
+    g, bh = plan
+    y, h2 = _mlp_stream_train_call(x2p, mp, eps, g, bh)
+    if sp != s:
+        y, h2 = y[:, :s, :], h2[:, :s, :]
+    return y, (x2, mp, h2)
+
+
+def _mlp_stream_bwd(eps, assume_frozen_weights, residuals, dy):
+    x2, mp, h2 = residuals
+    b, s, d = x2.shape
+    sp = -(-s // 8) * 8
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    hidden = mp.w1.shape[-1]
+    if not assume_frozen_weights:
+        plan_dx = _stream_mlp_plan(
+            sp, d, x2.dtype.itemsize, b, dx=True, hidden=hidden
+        )
+        plan_dw = _stream_mlp_dw_plan(sp, d, x2.dtype.itemsize, b, hidden)
+        if h2 is None or plan_dx is None or plan_dw is None:
+            # No streaming plan fits: exact unfused fallback.
+            _, vjp = jax.vjp(
+                lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp
+            )
+            return vjp(dy)
+        x2p = jnp.pad(x2, pad) if sp != s else x2
+        dyp = jnp.pad(dy, pad) if sp != s else dy
+        dx2p, dg2, db2 = _mlp_stream_dx_full_call(
+            x2p, dyp, mp, eps, plan_dx[0], plan_dx[1]
+        )
+        dw1, dbf1, dw2 = _mlp_stream_dw_call(
+            x2p, dyp, mp, eps, plan_dw[0], plan_dw[1]
+        )
+        dx2 = dx2p[:, :s, :] if sp != s else dx2p
+        # LayerScale / fc2-bias cotangents from the saved h2 (padding-free
+        # tensors; matches the non-streaming kernel's bf16-h2 precision).
+        dyf = dy.astype(jnp.float32)
+        dls2 = jnp.einsum("bsd,bsd->d", dyf, h2.astype(jnp.float32))
+        dbf2 = mp.ls2.astype(jnp.float32).reshape(-1) * jnp.sum(dyf, axis=(0, 1))
+        cast = lambda v, ref: v.reshape(ref.shape).astype(ref.dtype)
+        dmp = MlpParams(
+            g2=cast(dg2, mp.g2),
+            b2=cast(db2, mp.b2),
+            w1=cast(dw1, mp.w1),
+            bf1=cast(dbf1, mp.bf1),
+            w2=cast(dw2, mp.w2),
+            bf2=cast(dbf2, mp.bf2),
+            ls2=cast(dls2, mp.ls2),
+        )
+        return dx2, dmp
+    x2p = jnp.pad(x2, pad) if sp != s else x2
+    dyp = jnp.pad(dy, pad) if sp != s else dy
+    plan = _stream_mlp_plan(sp, d, x2.dtype.itemsize, b, dx=True, hidden=hidden)
     if plan is None:  # no streaming dx plan: exact unfused fallback
         _, vjp = jax.vjp(lambda x_, mp_: mlp_part_math(x_, mp_, eps=eps), x2, mp)
         return vjp(dy)
@@ -1793,8 +2280,9 @@ def fused_attn_part_stream(
 ) -> Array:
     """Head-streaming fused attention half: q/k/v column slices and
     output-projection row slices stream per head while LN1(x) and the f32
-    output accumulator stay resident. Forward-only (backward falls back to
-    the unfused math; never pulled in the production LoRA/frozen configs)."""
+    output accumulator stay resident. The backward runs the streaming
+    dx + dw kernel pair (full weight cotangents) when a plan fits, else the
+    exact unfused vjp."""
     b, s, d = x.shape
     dh = d // num_heads
     sp = -(-s // 8) * 8
@@ -1847,13 +2335,134 @@ def _attn_stream_fwd(x, ap, num_heads, eps):
     return fused_attn_part_stream(x, ap, num_heads, eps), (x, ap)
 
 
-def _attn_stream_bwd(num_heads, eps, residuals, dy):
-    x, ap = residuals
-    _, vjp = jax.vjp(
-        lambda x_, ap_: attn_part_math(x_, ap_, num_heads=num_heads, eps=eps),
-        x, ap,
+def _attn_stream_bwd_call(kernel, xp, dyp, ap, num_heads, eps, g, hpb,
+                          out_specs, out_shape, scratch_shapes, valid_len):
+    """Shared pallas_call builder for the streaming attention backward
+    passes. ``kernel`` decides the grid orientation via its out_specs: the
+    dx pass runs rows-major ``(B/g, n_groups)``, the dw pass group-major
+    ``(n_groups, B/g)`` — encoded by the caller's index maps."""
+    b, sp, d = xp.shape
+    dh = d // num_heads
+    n_groups = num_heads // hpb
+    gw = hpb * dh
+    wdt = xp.dtype
+
+    wq, wk, wv = jnp.split(ap.wqkv.astype(wdt), 3, axis=1)
+    bq, bk, bv = jnp.split(ap.bqkv.reshape(1, -1).astype(jnp.float32), 3, axis=1)
+    wo = ap.wo.astype(wdt)
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    g1, b1 = vec(ap.g1), vec(ap.b1)
+    dx_pass = kernel is _attn_stream_dx_kernel
+    if dx_pass:
+        grid = (b // g, n_groups)
+        xmap = lambda i, h: (i, 0, 0)
+        hmap_col = lambda i, h: (0, h)
+        hmap_row = lambda i, h: (h, 0)
+    else:
+        grid = (n_groups, b // g)
+        xmap = lambda h, i: (i, 0, 0)
+        hmap_col = lambda h, i: (0, h)
+        hmap_row = lambda h, i: (h, 0)
+    xspec = pl.BlockSpec((g, sp, d), xmap, memory_space=pltpu.VMEM)
+    vspec = lambda a: pl.BlockSpec(
+        a.shape, lambda *_: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
-    return vjp(dy)
+    colspec = pl.BlockSpec((d, gw), hmap_col, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), hmap_col, memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((gw, d), hmap_row, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            kernel, heads_per_block=hpb, n_groups=n_groups, eps=eps,
+            valid_len=valid_len,
+        ),
+        grid=grid,
+        in_specs=[xspec, xspec, vspec(g1), vspec(b1), colspec, colspec,
+                  colspec, bspec, bspec, bspec, rowspec],
+        out_specs=out_specs(xspec, colspec, bspec, rowspec),
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=_dispatch_target()[0] != "tpu",
+    )(xp, dyp, g1, b1, wq, wk, wv, bq, bk, bv, wo)
+
+
+def _attn_stream_bwd(num_heads, eps, residuals, dy):
+    """Full streaming attention backward: dx pass (da accumulator + LN
+    cotangents) and head-group-major dw pass; falls back to the exact
+    unfused vjp when no streaming plan fits (e.g. S=1370 at D=1024)."""
+    x, ap = residuals
+    b, s, d = x.shape
+    dh = d // num_heads
+    sp = -(-s // 8) * 8
+    plan_dx = _stream_attn_bwd_plan(
+        sp, d, dh, x.dtype.itemsize, b, num_heads, dw=False
+    )
+    plan_dw = _stream_attn_bwd_plan(
+        sp, d, dh, x.dtype.itemsize, b, num_heads, dw=True
+    )
+    if plan_dx is None or plan_dw is None:
+        _, vjp = jax.vjp(
+            lambda x_, ap_: attn_part_math(x_, ap_, num_heads=num_heads, eps=eps),
+            x, ap,
+        )
+        return vjp(dy)
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    xp = jnp.pad(x, pad) if sp != s else x
+    dyp = jnp.pad(dy, pad) if sp != s else dy
+    f32 = jnp.float32
+
+    g, hpb = plan_dx
+    dxp, dg1, db1 = _attn_stream_bwd_call(
+        _attn_stream_dx_kernel, xp, dyp, ap, num_heads, eps, g, hpb,
+        out_specs=lambda xspec, colspec, bspec, rowspec: [
+            xspec,
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, sp, d), x.dtype),
+            pltpu.VMEM((g, sp, d), f32),
+        ],
+        valid_len=s,
+    )
+
+    g, hpb = plan_dw
+    gw = hpb * dh
+    dwq, dwk, dwv, dbq, dbk, dbv, dwo = _attn_stream_bwd_call(
+        _attn_stream_dw_kernel, xp, dyp, ap, num_heads, eps, g, hpb,
+        out_specs=lambda xspec, colspec, bspec, rowspec: [
+            colspec, colspec, colspec, bspec, bspec, bspec, rowspec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((d, d), f32),
+        ],
+        scratch_shapes=[],
+        valid_len=s,
+    )
+
+    dx = dxp[:, :s, :] if sp != s else dxp
+    dbo = jnp.sum(dy.astype(f32), axis=(0, 1))
+    cast = lambda v, ref: v.reshape(ref.shape).astype(ref.dtype)
+    dap = AttnParams(
+        g1=cast(dg1, ap.g1),
+        b1=cast(db1, ap.b1),
+        wqkv=cast(jnp.concatenate([dwq, dwk, dwv], axis=1), ap.wqkv),
+        bqkv=cast(jnp.concatenate([dbq, dbk, dbv], axis=1), ap.bqkv),
+        wo=cast(dwo, ap.wo),
+        bo=cast(dbo, ap.bo),
+    )
+    return dx, dap
 
 
 fused_attn_part_stream.defvjp(_attn_stream_fwd, _attn_stream_bwd)
@@ -1891,13 +2500,18 @@ def dispatch_mlp_part_stream(
 
 def stream_fused_enabled(
     hidden_size: int, seq_len: int = 257, itemsize: int = 2, num_heads: int = 16,
-    mlp_hidden: int | None = None,
+    mlp_hidden: int | None = None, for_training: bool = False,
 ) -> bool:
     """Dispatch for the weight-STREAMING split kernels: engaged only when
     the whole-half kernels do not fit (``parts_fused_enabled`` is False —
     resident weights beat streamed weights when possible) but a streaming
-    plan exists for both halves. ``DINO_POSE_TPU_BLOCK=unfused|xla``
-    disables, ``=stream`` forces (test hook; interpret mode off-TPU)."""
+    plan exists for both halves. ``for_training=True`` drops the
+    resident-half preference: the resident halves have no VMEM-fitting
+    WEIGHT-cotangent backward above the monolithic regime (the (D, 4D) f32
+    accumulators alone exceed the scoped budget at D=768), so a trainable
+    big-D block wants the streaming pair even where the resident forward
+    would win. ``DINO_POSE_TPU_BLOCK=unfused|xla`` disables, ``=stream``
+    forces (test hook; interpret mode off-TPU)."""
     import os
 
     override = os.environ.get("DINO_POSE_TPU_BLOCK", "").lower()
@@ -1909,8 +2523,9 @@ def stream_fused_enabled(
             return False
         if n_devices > 1 and not _pure_dp_mesh(n_devices):
             return False
-        if parts_fused_enabled(hidden_size, seq_len, itemsize,
-                               mlp_hidden=mlp_hidden):
+        if not for_training and parts_fused_enabled(
+            hidden_size, seq_len, itemsize, mlp_hidden=mlp_hidden
+        ):
             return False  # whole-half kernels are strictly better when they fit
     d = hidden_size
     sp = -(-seq_len // 8) * 8

@@ -80,9 +80,11 @@ def test_stream_mlp_frozen_backward_dx2(params):
                                atol=2e-4, rtol=1e-3)
 
 
-def test_stream_unfrozen_backward_falls_back_exact(params):
+def test_stream_unfrozen_backward_full_weight_grads(params):
     """Without the frozen contract the backward must return exact weight
-    gradients via the unfused VJP."""
+    gradients — since round 4 via the FULL streaming backward (extended dx
+    kernel + hidden-block-major dw kernel + saved-h2 LayerScale cotangent),
+    verified here against the unfused jax.vjp."""
     _, mp = params
     x2 = jnp.asarray(
         np.random.default_rng(4).standard_normal((B, S, D)).astype(np.float32)
@@ -193,3 +195,132 @@ def test_stream_mlp_non_default_ratio():
         np.asarray(jax.grad(f)(x2)), np.asarray(jax.grad(g)(x2)),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_stream_full_backward_uses_kernels(params, monkeypatch):
+    """The trainable-weights backward must run the streaming kernels, not
+    the unfused-math fallback (which would also pass the parity test): the
+    fallback's entry point is poisoned and gradients must still compute."""
+    from dino_pose_tpu.ops import block as blk
+
+    _, mp = params
+    x2 = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, S, D)).astype(np.float32)
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("full streaming backward fell back to unfused math")
+
+    monkeypatch.setattr(blk, "mlp_part_math", boom)
+    assert blk._stream_mlp_dw_plan(64, D, 4, B, 4 * D) is not None
+    gx, gmp = jax.grad(
+        lambda x_, m_: jnp.sum(jnp.square(fused_mlp_part_stream(x_, m_, EPS, False))),
+        argnums=(0, 1),
+    )(x2, mp)
+    assert np.isfinite(np.asarray(gx)).all()
+    for name, g in zip(gmp._fields, gmp):
+        assert np.isfinite(np.asarray(g)).all(), name
+        assert np.asarray(g).shape == np.asarray(getattr(mp, name)).shape
+
+
+def test_stream_block_trainable_route_grads(params):
+    """A TRAINABLE Block at streaming shapes (round-3 verdict next #5):
+    forced onto the streaming route, the full parameter+input gradients must
+    match the unfused block_math route — i.e. unfreeze-N on a big-D backbone
+    no longer silently drops to XLA *and* stays exact."""
+    import os
+
+    from dino_pose_tpu.models.vit import Block, ViTConfig
+    from dino_pose_tpu.ops import dispatch
+
+    cfg = ViTConfig(hidden_size=D, num_layers=2, num_heads=H)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, S, D)).astype(np.float32)
+    )
+    blk = Block(cfg, frozen=False)
+    v = blk.init(jax.random.key(0), x, deterministic=True)
+
+    def loss(v_, x_):
+        return jnp.sum(jnp.square(blk.apply(v_, x_, deterministic=False)))
+
+    want_gv, want_gx = jax.grad(loss, argnums=(0, 1))(v, x)
+
+    old = (dispatch._DISPATCH, dispatch._MESH)
+    os.environ["DINO_POSE_TPU_BLOCK"] = "stream"
+    dispatch._DISPATCH, dispatch._MESH = ("cpu", 1), None
+    try:
+        got_gv, got_gx = jax.grad(loss, argnums=(0, 1))(v, x)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_BLOCK", None)
+        dispatch._DISPATCH, dispatch._MESH = old
+
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=2e-4, rtol=1e-3)
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want_gv)
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(got_gv)[0])
+    for path, wv in dict(flat_w).items():
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(wv),
+            atol=2e-4, rtol=1e-3, err_msg=str(path),
+        )
+
+
+def test_stream_attn_full_backward_grads():
+    """The streaming attention backward (dx + head-group-major dw kernels)
+    must match the unfused vjp — multi-group config (8 heads, dh=32, 2
+    groups of 4) so cross-group accumulation of da and the per-group
+    qkv-column / out-row gradient blocks are both exercised."""
+    d, heads, s, b = 256, 8, 57, 2
+    rng = np.random.default_rng(8)
+    r = lambda *sh: rng.standard_normal(sh).astype(np.float32) * 0.05
+    ap = AttnParams(
+        g1=1 + r(d), b1=r(d), wqkv=r(d, 3 * d), bqkv=r(3 * d),
+        wo=r(d, d), bo=r(d),
+    )
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+
+    from dino_pose_tpu.ops.block import _stream_attn_bwd_plan
+
+    assert _stream_attn_bwd_plan(64, d, d // heads, 4, b, heads, dw=False)
+    assert _stream_attn_bwd_plan(64, d, d // heads, 4, b, heads, dw=True)
+
+    gx_s, gap_s = jax.grad(
+        lambda x_, a_: jnp.sum(jnp.square(fused_attn_part_stream(x_, a_, heads, EPS))),
+        argnums=(0, 1),
+    )(x, ap)
+    gx_r, gap_r = jax.grad(
+        lambda x_, a_: jnp.sum(jnp.square(attn_part_math(x_, a_, num_heads=heads, eps=EPS))),
+        argnums=(0, 1),
+    )(x, ap)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               atol=2e-4, rtol=1e-3)
+    for name, a, b_ in zip(gap_s._fields, gap_s, gap_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
+
+
+def test_stream_attn_full_backward_uses_kernels(monkeypatch):
+    """The streaming attention backward must take the kernel path when plans
+    fit (poisoned-fallback check, mirroring the MLP variant)."""
+    from dino_pose_tpu.ops import block as blk
+
+    d, heads = 256, 8
+    rng = np.random.default_rng(9)
+    r = lambda *sh: rng.standard_normal(sh).astype(np.float32) * 0.05
+    ap = AttnParams(
+        g1=1 + r(d), b1=r(d), wqkv=r(d, 3 * d), bqkv=r(3 * d),
+        wo=r(d, d), bo=r(d),
+    )
+    x = jnp.asarray(rng.standard_normal((2, 57, d)).astype(np.float32))
+
+    def boom(*a, **k):
+        raise AssertionError("attention streaming backward fell back to unfused math")
+
+    monkeypatch.setattr(blk, "attn_part_math", boom)
+    gx, gap = jax.grad(
+        lambda x_, a_: jnp.sum(jnp.square(fused_attn_part_stream(x_, a_, heads, EPS))),
+        argnums=(0, 1),
+    )(x, ap)
+    assert np.isfinite(np.asarray(gx)).all()
+    for name, g in zip(gap._fields, gap):
+        assert np.isfinite(np.asarray(g)).all(), name
