@@ -197,6 +197,39 @@ def bench_input(n_images: int = 64, batch_size: int = 32, num_workers: int = 4) 
     }
 
 
+def _init_backend_or_die(mode: str) -> None:
+    """Force backend init under a watchdog.
+
+    A dead TPU tunnel has two failure modes: an eventual RuntimeError
+    (handled in main) and an indefinite HANG inside make_c_api_client —
+    observed 25-minute probes that never return. The watchdog turns the
+    hang into the same structured one-line JSON record so the driver's
+    bench capture never ends as an empty timeout."""
+    import os
+    import threading
+
+    done = threading.Event()
+    budget = float(os.environ.get("DINO_POSE_TPU_INIT_TIMEOUT", "900"))
+
+    def watchdog():
+        if not done.wait(budget):
+            print(json.dumps({
+                "metric": "finetune_images_per_sec_per_chip" if mode == "train"
+                else ("infer_p50_latency_ms" if mode == "infer"
+                      else "input_pipeline_samples_per_sec"),
+                "value": None,
+                "unit": "images/sec/chip" if mode == "train" else "ms",
+                "vs_baseline": None,
+                "error": "tpu_unavailable",
+                "detail": f"backend init exceeded {budget:.0f}s (tunnel hang)",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    jax.devices()  # blocks here when the tunnel is dead
+    done.set()
+
+
 def main():
     import os
 
@@ -220,6 +253,7 @@ def main():
     args = ap.parse_args()
 
     try:
+        _init_backend_or_die(args.mode)
         result = _run_mode(args)
     except RuntimeError as e:
         # A dead TPU tunnel surfaces as "Unable to initialize backend ...

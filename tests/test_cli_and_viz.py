@@ -164,3 +164,28 @@ def test_bench_emits_structured_error_on_dead_backend(monkeypatch, capsys):
     assert parsed["error"] == "tpu_unavailable"
     assert parsed["metric"] == "finetune_images_per_sec_per_chip"
     assert parsed["value"] is None
+
+
+def test_bench_watchdog_emits_error_on_init_hang(monkeypatch, capsys):
+    """A backend init that HANGS (the observed dead-tunnel mode: 25-min
+    probes that never return) must still produce the structured JSON error
+    line instead of an empty driver timeout."""
+    import json
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setenv("DINO_POSE_TPU_INIT_TIMEOUT", "0.2")
+    calls = {}
+    monkeypatch.setattr("os._exit", lambda code: calls.setdefault("code", code))
+    monkeypatch.setattr(bench.jax, "devices", lambda *a, **k: time.sleep(1.5))
+
+    bench._init_backend_or_die("train")
+
+    assert calls["code"] == 0  # watchdog fired (os._exit intercepted)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["error"] == "tpu_unavailable"
+    assert "init exceeded" in parsed["detail"]
