@@ -248,9 +248,16 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="facebook/dinov2-small")
     ap.add_argument("--no-lora", action="store_true")
-    ap.add_argument("--image-size", type=int, default=224,
-                    help="square input resolution (dinov2 supports e.g. 518)")
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="square input resolution (default: the model family's "
+                    "production size — 224 for dinov2, 256 for timm/fastvit; "
+                    "dinov2 supports e.g. 518)")
     args = ap.parse_args()
+    if args.image_size is None:
+        # Match the production preprocessor geometry (data/preprocess.py):
+        # timm FastViT crops to 256 (and its 1/32 feature grid must stay
+        # divisible by 4 for the hourglass head — 224 would violate that).
+        args.image_size = 256 if args.model.startswith("timm/") else 224
 
     try:
         _init_backend_or_die(args.mode)

@@ -13,10 +13,17 @@ TPU-first choices:
 - Everything is NHWC; depthwise convs map to XLA's grouped convolutions.
 - The multi-branch "MobileOne" blocks keep the reference's *training-time*
   branch parameterisation (kxk conv + 1x1 scale branch + identity BN) in
-  the checkpoint tree, but by default EXECUTE as one folded conv per block
-  (``fastvit_fold`` module: branch BN with known batch statistics is
-  affine, so the branches collapse algebraically even in train mode —
-  gate ``DINO_POSE_TPU_FASTVIT_FOLD=0`` restores the literal branch math).
+  the checkpoint tree. In EVAL mode they execute as one folded conv per
+  block (``fastvit_fold`` module: BN with known statistics is affine, so
+  the branches collapse algebraically). In TRAIN mode the measured-fastest
+  arrangement (and the default) is branch-output REUSE: each materialised
+  branch feeds its own BN affine elementwise and the scale/identity
+  branches become per-channel coefficients on x, while the
+  BN-affine-into-matmul folds (ConvFFN fc1, attention qkv) revert to
+  branch math — folding a batch-stat affine into a FROZEN weight forces a
+  weight-gradient matmul in backward. Hardware A/B grid in
+  ``fastvit_fold.train_block_mode`` / ``ffn_fold_active`` (reuse+branchFFN
+  2027 > branch 1872-1881 > reuse+foldFFN 1847 > fold 1557 img/s).
   ``fuse_mobileone_params`` (below) provides the same algebra as an
   explicit parameter transform for deployment-time export.
 - Attention stages flatten (H, W) to one token axis and reuse the same
@@ -129,8 +136,20 @@ class MobileOneBlock(nn.Module):
     num_conv_branches: int = 1
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool, return_fold: bool = False):
-        if F.fold_enabled() or return_fold:
+    def __call__(
+        self,
+        x: Array,
+        *,
+        train: bool,
+        return_fold: bool = False,
+        return_terms: bool = False,
+    ):
+        if return_terms or (
+            F.block_fold_active(train) and F.block_reuse_active(train)
+            and not return_fold
+        ):
+            return self._reuse(x, train=train, return_terms=return_terms)
+        if F.block_fold_active(train) or return_fold:
             return self._folded(x, train=train, return_fold=return_fold)
         k, s = self.kernel_size, self.strides
         in_ch = x.shape[-1]
@@ -150,6 +169,120 @@ class MobileOneBlock(nn.Module):
             out = out + L.BatchNorm(name="scale_bn")(y, use_running_average=not train)
         if in_ch == self.features and s == 1:
             out = out + L.BatchNorm(name="skip_bn")(x, use_running_average=not train)
+        if self.use_se:
+            out = SEBlock(name="se")(out)
+        return nn.gelu(out, approximate=False) if self.use_act else out
+
+    def _reuse(self, x: Array, *, train: bool, return_terms: bool):
+        """Train-mode branch-output reuse (fastvit_fold.train_block_mode):
+        every materialised branch output feeds its OWN BN affine elementwise
+        (``inv * y + shift``), and branches whose statistics are exact
+        functions of x's moments become a per-channel coefficient on x — no
+        second folded conv over the input. Mathematically identical to the
+        branch math / plain fold; parameter tree unchanged.
+
+        With ``return_terms`` the unapplied representation is returned as
+        ``(terms, x_coeff, bias)`` — ``terms`` a list of f32 ``(inv, y)``
+        pairs, ``x_coeff`` the f32 per-channel coefficient on x — so a
+        parent (RepMixer) can merge further. Only stride-1, multiplier-1
+        blocks may be returned as terms (the coefficient applies to x on
+        the block's own grid)."""
+        if not train:
+            raise ValueError("_reuse is the train-mode path (eval folds to one conv)")
+        k, s = self.kernel_size, self.strides
+        in_ch = x.shape[-1]
+        in_g = in_ch // self.groups
+        mult = self.features // self.groups
+        terms: list[tuple[Array, Array]] = []
+        xc = None  # f32 per-channel coefficient on x (stride-sampled grid)
+        xc_rep = None  # same, but on repeat(x, mult) (depthwise-multiplier scale)
+        bias = jnp.zeros((self.features,), jnp.float32)
+
+        for b in range(self.num_conv_branches):
+            kern = F.ConvParams(
+                self.features, (k, k), self.groups, name=f"conv{b}"
+            )(in_ch)
+            y, inv, shift = F.stats_branch_reuse(
+                x, kern, F.BNAffine(self.features, name=f"conv{b}_bn"),
+                strides=(s, s), groups=self.groups,
+            )
+            terms.append((inv, y))
+            bias = bias + shift
+
+        if self.use_scale_branch and k > 1:
+            skern = F.ConvParams(
+                self.features, (1, 1), self.groups, name="scale"
+            )(in_ch)
+            sbn = F.BNAffine(self.features, name="scale_bn")
+            if in_g == 1:
+                # Depthwise(-multiplier) 1x1: the branch IS a per-channel
+                # scalar on x, so both its statistics and its output are
+                # exact functions of x — contribute a coefficient, no conv.
+                mx, m2x, n = F.channel_moments(x, (s, s))
+                svec = skern[0, 0, 0, :].astype(jnp.float32)
+                mean = svec * jnp.repeat(mx, mult)
+                var = jnp.square(svec) * jnp.repeat(m2x, mult) - jnp.square(mean)
+                inv, shift = sbn(mean, var, n, train=True)
+                coeff = inv * svec
+                if mult == 1:
+                    xc = coeff if xc is None else xc + coeff
+                else:
+                    xc_rep = coeff if xc_rep is None else xc_rep + coeff
+            elif self.groups == 1 and in_ch <= 8:
+                # Dense 1x1 over few channels (stem0): gram-matrix moments,
+                # branch output via one tiny matmul on the strided grid.
+                xs = x[:, ::s, ::s, :].astype(jnp.float32)
+                flat = xs.reshape(-1, in_ch)
+                n = flat.shape[0]
+                mu = jnp.mean(flat, axis=0)
+                gram = flat.T @ flat / n
+                w = skern[0, 0].astype(jnp.float32)
+                mean = mu @ w
+                var = jnp.einsum("co,do,cd->o", w, w, gram) - jnp.square(mean)
+                inv, shift = sbn(mean, var, n, train=True)
+                terms.append((inv, xs @ w))
+            else:
+                y, inv, shift = F.stats_branch_reuse(
+                    x, skern, sbn, strides=(s, s), groups=self.groups,
+                )
+                terms.append((inv, y))
+            bias = bias + shift
+
+        if in_ch == self.features and s == 1:
+            ibn = F.BNAffine(self.features, name="skip_bn")
+            mx, m2x, n = F.channel_moments(x)
+            inv, shift = ibn(mx, m2x - jnp.square(mx), n, train=True)
+            xc = inv if xc is None else xc + inv
+            bias = bias + shift
+
+        if return_terms:
+            if self.use_se or self.use_act:
+                raise ValueError(
+                    "return_terms only represents the linear conv+BN part: "
+                    "a block with use_se/use_act cannot be merged into a "
+                    "parent combine."
+                )
+            if s != 1 or xc_rep is not None:
+                raise ValueError(
+                    "return_terms requires a stride-1, multiplier-1 block "
+                    "(the x coefficient must live on the caller's grid)"
+                )
+            return (
+                terms,
+                xc if xc is not None else jnp.zeros((self.features,), jnp.float32),
+                bias,
+            )
+
+        out = bias
+        for inv, y in terms:
+            out = y.astype(jnp.float32) * inv + out
+        if xc is not None or xc_rep is not None:
+            x_s = x[:, ::s, ::s, :] if s != 1 else x
+            if xc is not None:
+                out = out + x_s.astype(jnp.float32) * xc
+            if xc_rep is not None:
+                out = out + jnp.repeat(x_s, mult, axis=-1).astype(jnp.float32) * xc_rep
+        out = out.astype(x.dtype)
         if self.use_se:
             out = SEBlock(name="se")(out)
         return nn.gelu(out, approximate=False) if self.use_act else out
@@ -274,8 +407,25 @@ class ReparamLargeKernelConv(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         k, s = self.kernel_size, self.strides
         sk = self.small_kernel
-        if F.fold_enabled():
+        if F.block_fold_active(train):
             in_ch = x.shape[-1]
+            if F.block_reuse_active(train):
+                # Both branch outputs are materialised for their statistics
+                # anyway — combine them elementwise through their BN affines
+                # instead of paying a THIRD (folded kxk) conv over x.
+                acc = None
+                for name, bk in (("large", k), ("small", sk)):
+                    kern = F.ConvParams(
+                        self.features, (bk, bk), self.groups, name=name
+                    )(in_ch)
+                    y, inv, shift = F.stats_branch_reuse(
+                        x, kern, F.BNAffine(self.features, name=f"{name}_bn"),
+                        strides=(s, s), groups=self.groups,
+                    )
+                    t = y.astype(jnp.float32) * inv + shift
+                    acc = t if acc is None else acc + t
+                out = acc.astype(x.dtype)
+                return nn.gelu(out, approximate=False) if self.use_act else out
             in_g = in_ch // self.groups
             kf = jnp.zeros((k, k, in_g, self.features), jnp.float32)
             bf = jnp.zeros((self.features,), jnp.float32)
@@ -395,7 +545,7 @@ class ConvFFN(nn.Module):
             c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
             use_bias=False, name="conv",
         )(x)
-        if F.fold_enabled():
+        if F.ffn_fold_active(train):
             # Fold the post-depthwise BN affine into the fc1 1x1 kernel (and
             # the LoRA A via in_affine): fc1(y*inv + shift) =
             # conv(y, K*inv) + (b + shift @ K). The normalised activation is
@@ -445,7 +595,32 @@ class RepMixer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         c = x.shape[-1]
-        if F.fold_enabled():
+        if F.block_fold_active(train) and F.block_reuse_active(train):
+            # Reuse form: the mixer's 3x3 depthwise branch output y0 is
+            # materialised for its statistics; every other branch of mixer
+            # and norm is a per-channel affine of x. The whole mixer is ONE
+            # depthwise conv + one fused elementwise map:
+            #   out = x*(1 + ls*(xc_m - xc_n)) + ls*inv0*y0 + ls*(b_m - b_n)
+            terms_m, xc_m, bias_m = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False, name="mixer"
+            )(x, train=True, return_terms=True)
+            terms_n, xc_n, bias_n = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False,
+                use_scale_branch=False, num_conv_branches=0, name="norm",
+            )(x, train=True, return_terms=True)
+            ls = self.param(
+                "layer_scale", nn.initializers.constant(self.layer_scale_init), (c,)
+            )
+            lsf = ls.astype(jnp.float32)
+            out = x.astype(jnp.float32) * (1.0 + lsf * (xc_m - xc_n)) + lsf * (
+                bias_m - bias_n
+            )
+            for inv, y in terms_m:
+                out = out + y.astype(jnp.float32) * (lsf * inv)
+            for inv, y in terms_n:
+                out = out - y.astype(jnp.float32) * (lsf * inv)
+            return out.astype(x.dtype)
+        if F.block_fold_active(train):
             # Whole-mixer fold: out = x + ls*(mixer(x) - norm(x)) with both
             # children folded to (kernel, bias) collapses to ONE depthwise
             # 3x3 conv — K = ls*(Km - Kn) + ident, b = ls*(bm - bn).
@@ -489,7 +664,7 @@ class SpatialAttention(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         b, h, w, c = x.shape
         num_heads = max(1, c // self.head_dim)
-        if F.fold_enabled():
+        if F.ffn_fold_active(train):
             # Pre-norm fold: BN(x) @ W = x @ (inv[:, None] * W) + shift @ W.
             # Train-mode statistics are exact channel moments of x, so the
             # normalised tensor never hits HBM.

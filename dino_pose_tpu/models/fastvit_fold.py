@@ -19,18 +19,28 @@ the same step. So a train-mode multi-branch block collapses to
     3. a single folded conv that produces the block output.
 
 This is a pure-XLA restructuring — mathematically the same function, so
-autodiff gives the same gradients — that removes the per-branch BN-apply
-and branch-sum passes over stem/stage-resolution activations. In eval
-mode (running statistics) step 1 disappears entirely and every MobileOne
-block becomes exactly one conv, without the explicit deploy-time
-parameter transform.
+autodiff gives the same gradients. In eval mode (running statistics) the
+statistics convs disappear entirely and every MobileOne block becomes
+exactly one conv, without the explicit deploy-time parameter transform —
+that is the unambiguous win and the eval default.
 
-Parameter trees are unchanged: the param holders below reproduce
-``nn.layers.Conv`` / ``nn.layers.BatchNorm`` names, shapes and
+In TRAIN mode the round-4 hardware A/B grid (PERFORMANCE.md) showed the
+full fold is a 17% END-TO-END REGRESSION: the folded kernel depends on x
+through the batch statistics, so reaching dx in backward requires the
+full weight-gradient correlation conv per block — work branch math never
+does for a frozen backbone. The measured-fastest train arrangement (and
+default) is branch-output REUSE (``stats_branch_reuse``): run each branch
+conv once, apply its BN as an elementwise affine of the already-
+materialised output, and collapse scale/identity branches to per-channel
+coefficients on x. See ``train_block_mode`` / ``ffn_fold_active`` for the
+numbers and env hooks.
+
+Parameter trees are unchanged in every mode: the param holders below
+reproduce ``nn.layers.Conv`` / ``nn.layers.BatchNorm`` names, shapes and
 initialisers, so checkpoints and the torch bridge are unaffected.
 
-Gate: ``DINO_POSE_TPU_FASTVIT_FOLD`` (default on; set ``0`` to force the
-reference branch-form math).
+Master gate: ``DINO_POSE_TPU_FASTVIT_FOLD`` (default on; set ``0`` to
+force the reference branch-form math everywhere).
 """
 
 from __future__ import annotations
@@ -54,7 +64,70 @@ Array = jax.Array
 
 
 def fold_enabled() -> bool:
+    """Master gate: ``DINO_POSE_TPU_FASTVIT_FOLD=0`` forces the literal
+    reference branch math everywhere (train AND eval)."""
     return os.environ.get("DINO_POSE_TPU_FASTVIT_FOLD", "1") != "0"
+
+
+def train_block_mode() -> str:
+    """TRAIN-mode math for the MobileOne block family (MobileOneBlock,
+    ReparamLargeKernelConv, RepMixer): ``branch`` | ``fold`` | ``reuse``.
+
+    Measured on one v5e chip (fastvit_t8 production train step, bs=128,
+    interleaved repeated A/B, PERFORMANCE.md round 4), combined with the
+    FFN-fold axis (:func:`ffn_fold_active`):
+
+    - ``reuse`` + branch FFN (DEFAULTS) — branch outputs feed their BN
+      affines elementwise, scale/identity branches become per-channel
+      coefficients on x, no folded conv: **2027 img/s**.
+    - ``branch`` — the reference's literal multi-branch math: 1872-1881.
+    - ``reuse`` + folded FFN: 1844-1851.
+    - ``fold``  + folded FFN: 1552-1558. Merging the branches into one kxk
+      conv in train mode makes the folded kernel depend on x through the
+      batch statistics, so the backward must form a full weight-gradient
+      correlation conv per block just to reach dx — a 17% END-TO-END
+      regression even though it runs fewer forward convs. Kept only as the
+      measured A/B point.
+
+    Eval mode always folds (one conv per block, no statistics convs, no
+    backward) — that is where the reparameterisation algebra is free.
+    """
+    mode = os.environ.get("DINO_POSE_TPU_FASTVIT_TRAIN_BLOCKS", "reuse").lower()
+    if mode not in ("branch", "fold", "reuse"):
+        raise ValueError(
+            f"DINO_POSE_TPU_FASTVIT_TRAIN_BLOCKS={mode!r}: expected branch|fold|reuse"
+        )
+    return mode
+
+
+def block_fold_active(train: bool) -> bool:
+    """Should the MobileOne family take its folded/reuse path?"""
+    if not fold_enabled():
+        return False
+    return (not train) or train_block_mode() != "branch"
+
+
+def block_reuse_active(train: bool) -> bool:
+    """Within the folded path, should train mode reuse branch outputs?"""
+    return train and train_block_mode() == "reuse"
+
+
+def ffn_fold_active(train: bool) -> bool:
+    """Fold gate for the affine-into-matmul sites (ConvFFN's post-depthwise
+    BN -> fc1, SpatialAttention's pre-norm BN -> qkv).
+
+    Forward-only they are free (the BN affine rides the existing matmul),
+    but in TRAIN mode they lose ~4.5% end-to-end (1872 -> 1788 img/s on
+    t8): the backbone's fc1/qkv are FROZEN, so branch math never computes
+    their weight gradients — while the folded kernel depends on the batch
+    statistics, forcing a full dL/dW correlation matmul per site just to
+    reach the statistics' cotangent. Default: fold in eval, branch in
+    train; ``DINO_POSE_TPU_FASTVIT_TRAIN_FFN=fold`` is the A/B hook."""
+    if not fold_enabled():
+        return False
+    if not train:
+        return True
+    return os.environ.get("DINO_POSE_TPU_FASTVIT_TRAIN_FFN", "branch").lower() == "fold"
 
 
 class ConvParams(nn.Module):
@@ -227,6 +300,32 @@ def fold_stats_branch(
         jnp.pad(kernel.astype(jnp.float32) * inv, (pad, pad, (0, 0), (0, 0))),
         shift,
     )
+
+
+def stats_branch_reuse(
+    x: Array,
+    kernel: Array,
+    bn: BNAffine,
+    *,
+    strides: tuple[int, int],
+    groups: int,
+) -> tuple[Array, Array, Array]:
+    """Train-mode (conv, BN) branch with its output reused.
+
+    Runs the branch conv ONCE, feeds its batch statistics through the BN
+    affine, and returns ``(y, inv, shift)`` so the caller accumulates
+    ``inv * y + shift`` elementwise instead of re-convolving x with a
+    folded kernel (:func:`reuse_enabled`)."""
+    bk = kernel.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=strides,
+        padding=[(bk // 2, bk // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    mean, var, n = branch_stats(y)
+    inv, shift = bn(mean, var, n, train=True)
+    return y, inv, shift
 
 
 def apply_folded(

@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-4 hardware re-capture session (run ONE process at a time — the axon
-# tunnel serves a single chip and parallel processes poison it).
-#
-# Run when the tunnel is live:  bash scripts/tpu_session_r4.sh
-# Results accumulate in /tmp/tpu_r4/ as one JSON line per bench.
+# Continuation of the round-4 re-capture (tpu_session_r4.sh): the first
+# session captured flagship + unfreeze4; the FastViT runs needed
+# --image-size 256 (224/32 = 7x7 violates the hourglass grid constraint)
+# and fvt_fold0 hit a transient remote-compile 500 right after the tunnel
+# came back. Run ONE process at a time.
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_r4}
@@ -16,19 +16,7 @@ run() {
   echo "=== $name done rc=$? ($(date +%H:%M:%S))"
 }
 
-# 1. Driver headline: flagship LoRA fine-tune (expect ~4325 img/s/chip).
-run flagship python bench.py
-
-# 2. Unfreeze-last-4 (expect ~2938).
-run unfreeze4 python bench.py --no-lora
-
-# 3. FastViT t8 fold A/B (r3 committed the train-time reparam fold with no
-#    hardware number; branch-form baseline was 1928 img/s).
-run fvt_fold0 env DINO_POSE_TPU_FASTVIT_FOLD=0 python bench.py --model timm/fastvit_t8.apple_in1k --image-size 256
-run fvt_fold1 env DINO_POSE_TPU_FASTVIT_FOLD=1 python bench.py --model timm/fastvit_t8.apple_in1k --image-size 256
-
-# 4. Trainable big-D with the round-4 full streaming backward
-#    (previously fell to unfused XLA; base all-XLA r2 point: 1370 img/s).
+# 4. Trainable big-D with the round-4 full streaming backward.
 run base_unfreeze python bench.py --model facebook/dinov2-base --no-lora --batch-size 64
 run large_unfreeze python bench.py --model facebook/dinov2-large --no-lora --batch-size 32
 
@@ -36,7 +24,11 @@ run large_unfreeze python bench.py --model facebook/dinov2-large --no-lora --bat
 run base_lora python bench.py --model facebook/dinov2-base --batch-size 64
 run large_lora python bench.py --model facebook/dinov2-large --batch-size 32
 
-# 6. SA/MA variants (first hardware rows; registry promises all five).
+# 3. FastViT t8 fold A/B at the family's native 256 input.
+run fvt_fold0 env DINO_POSE_TPU_FASTVIT_FOLD=0 python bench.py --model timm/fastvit_t8.apple_in1k --image-size 256
+run fvt_fold1 env DINO_POSE_TPU_FASTVIT_FOLD=1 python bench.py --model timm/fastvit_t8.apple_in1k --image-size 256
+
+# 6. SA/MA variants (first hardware rows).
 run sa12_train python bench.py --model timm/fastvit_sa12.apple_in1k --batch-size 64 --image-size 256
 run sa12_infer python bench.py --mode infer --model timm/fastvit_sa12.apple_in1k --image-size 256
 run ma36_infer python bench.py --mode infer --model timm/fastvit_ma36.apple_in1k --image-size 256

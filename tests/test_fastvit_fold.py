@@ -22,8 +22,27 @@ from dino_pose_tpu.models.fastvit import (
 )
 
 
-def _init_and_apply(module, x, *, train, fold, seed=0):
-    os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "1" if fold else "0"
+def _set_mode(mode):
+    """mode: 'branch' (FOLD=0: literal branch math everywhere) | 'fold' |
+    'reuse'. The latter two force the train-time MobileOne-family math AND
+    the train-time FFN/attention BN folds (eval always folds when FOLD=1),
+    so every fold arm stays covered regardless of the production defaults
+    (train = reuse blocks + branch FFN, the measured-fastest grid point —
+    fastvit_fold.train_block_mode / ffn_fold_active)."""
+    os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "0" if mode == "branch" else "1"
+    if mode != "branch":
+        os.environ["DINO_POSE_TPU_FASTVIT_TRAIN_BLOCKS"] = mode
+        os.environ["DINO_POSE_TPU_FASTVIT_TRAIN_FFN"] = "fold"
+
+
+def _clear_mode():
+    os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+    os.environ.pop("DINO_POSE_TPU_FASTVIT_TRAIN_BLOCKS", None)
+    os.environ.pop("DINO_POSE_TPU_FASTVIT_TRAIN_FFN", None)
+
+
+def _init_and_apply(module, x, *, train, mode, seed=0):
+    _set_mode(mode)
     try:
         variables = module.init(jax.random.key(seed), x, train=False)
         if train:
@@ -33,7 +52,7 @@ def _init_and_apply(module, x, *, train, fold, seed=0):
             return variables, out, mut["batch_stats"]
         return variables, module.apply(variables, x, train=False), None
     finally:
-        os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+        _clear_mode()
 
 
 CASES = [
@@ -57,12 +76,13 @@ CASES = [
 
 @pytest.mark.parametrize("module,shape", CASES, ids=lambda v: str(v)[:40])
 @pytest.mark.parametrize("train", [False, True], ids=["eval", "train"])
-def test_fold_matches_branch_math(module, shape, train):
+@pytest.mark.parametrize("mode", ["fold", "reuse"])
+def test_fold_matches_branch_math(module, shape, train, mode):
     x = jnp.asarray(
         np.random.default_rng(1).standard_normal(shape), jnp.float32
     )
-    v_fold, out_fold, bs_fold = _init_and_apply(module, x, train=train, fold=True)
-    v_ref, out_ref, bs_ref = _init_and_apply(module, x, train=train, fold=False)
+    v_fold, out_fold, bs_fold = _init_and_apply(module, x, train=train, mode=mode)
+    v_ref, out_ref, bs_ref = _init_and_apply(module, x, train=train, mode="branch")
 
     # Identical parameter trees (names, shapes, values: same init RNG paths).
     jax.tree_util.tree_map(
@@ -81,21 +101,22 @@ def test_fold_matches_branch_math(module, shape, train):
         )
 
 
-def test_fold_gradients_match():
+@pytest.mark.parametrize("mode", ["fold", "reuse"])
+def test_fold_gradients_match(mode):
     """dx and (trainable-relevant) parameter cotangents agree: the fold is
     the same function, so autodiff must give the same derivatives."""
     module = RepMixer(1e-2)
     x = jnp.asarray(
         np.random.default_rng(2).standard_normal((2, 8, 8, 16)), jnp.float32
     )
-    os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "0"
+    _set_mode("branch")
     try:
         variables = module.init(jax.random.key(0), x, train=False)
     finally:
-        os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+        _clear_mode()
 
-    def loss(fold, params, xin):
-        os.environ["DINO_POSE_TPU_FASTVIT_FOLD"] = "1" if fold else "0"
+    def loss(m, params, xin):
+        _set_mode(m)
         try:
             out, _ = module.apply(
                 {"params": params, "batch_stats": variables["batch_stats"]},
@@ -103,12 +124,12 @@ def test_fold_gradients_match():
             )
             return jnp.sum(jnp.square(out))
         finally:
-            os.environ.pop("DINO_POSE_TPU_FASTVIT_FOLD", None)
+            _clear_mode()
 
-    gp_f, gx_f = jax.grad(lambda p, xi: loss(True, p, xi), argnums=(0, 1))(
+    gp_f, gx_f = jax.grad(lambda p, xi: loss(mode, p, xi), argnums=(0, 1))(
         variables["params"], x
     )
-    gp_r, gx_r = jax.grad(lambda p, xi: loss(False, p, xi), argnums=(0, 1))(
+    gp_r, gx_r = jax.grad(lambda p, xi: loss("branch", p, xi), argnums=(0, 1))(
         variables["params"], x
     )
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
