@@ -530,6 +530,21 @@ class ConvLoRA(nn.Module):
         return y * (self.alpha / self.rank)
 
 
+class ConvLoRAParams(nn.Module):
+    """Raw-parameter holder matching ``ConvLoRA``'s tree (fc*_lora/lora_A/
+    kernel + lora_B/kernel, same shapes and inits) for the fused-kernel
+    path, which consumes the adapters as squeezed matmul operands."""
+
+    rank: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> tuple[Array, Array]:
+        a = F.ConvParams(self.rank, (1, 1), name="lora_A")(in_features)
+        b = F.ZeroConvParams(self.out_features, (1, 1), name="lora_B")(self.rank)
+        return a[0, 0], b[0, 0]
+
+
 class ConvFFN(nn.Module):
     """7x7 depthwise conv + BN, then 1x1 fc1 -> GELU -> 1x1 fc2."""
 
@@ -540,11 +555,64 @@ class ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
+        from dino_pose_tpu.ops import convffn as CK
+
         c = x.shape[-1]
         y = L.Conv(
             c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
             use_bias=False, name="conv",
         )(x)
+        b, hh, ww, _ = y.shape
+        if CK.convffn_fused_enabled(
+            c, self.hidden, hh * ww, y.dtype.itemsize, train, self.lora_rank,
+            batch=b,
+        ):
+            # Fused BN-affine + fc1 + LoRA + GELU + fc2 + LoRA: the hidden
+            # tensor never hits HBM (ops/convffn.py). Batch statistics (and
+            # the running-stat update) stay outside so autodiff carries the
+            # exact BatchNorm train backward through them.
+            bn = F.BNAffine(c, name="conv_bn")
+            if train:
+                mean, var, n = F.branch_stats(y)
+                inv, shift = bn(mean, var, n, train=True)
+            else:
+                inv, shift = bn(train=False)
+            k1, b1 = F.DenseConvParams(self.hidden, (1, 1), name="fc1")(c)
+            k2, b2 = F.DenseConvParams(c, (1, 1), name="fc2")(self.hidden)
+            r = self.lora_rank
+            if r > 0:
+                a1, b1l = ConvLoRAParams(r, self.hidden, name="fc1_lora")(c)
+                a2, b2l = ConvLoRAParams(r, c, name="fc2_lora")(self.hidden)
+                s_lora = self.lora_alpha / r
+                if train and self.lora_dropout > 0.0:
+                    # Dropout2d over the rank channels (reference
+                    # lora.py:112-120 / flax broadcast_dims=(1, 2)): one
+                    # keep/drop decision per (sample, rank channel),
+                    # pre-scaled by 1/keep.
+                    keep = 1.0 - self.lora_dropout
+                    draw = lambda: (
+                        jax.random.bernoulli(
+                            self.make_rng("dropout"), keep, (b, r)
+                        ).astype(jnp.float32)
+                        / keep
+                    )
+                    m1, m2 = draw(), draw()
+                else:
+                    m1 = m2 = jnp.ones((b, r), jnp.float32)
+            else:
+                # Rank-1 zero adapters: algebraically absent, one kernel.
+                a1 = jnp.zeros((c, 1), jnp.float32)
+                b1l = jnp.zeros((1, self.hidden), jnp.float32)
+                a2 = jnp.zeros((self.hidden, 1), jnp.float32)
+                b2l = jnp.zeros((1, c), jnp.float32)
+                m1 = m2 = jnp.ones((b, 1), jnp.float32)
+                s_lora = 1.0
+            p = CK.ConvFFNParams(
+                inv=inv, shift=shift, w1=k1[0, 0], b1=b1, w2=k2[0, 0], b2=b2,
+                a1=a1, b1l=b1l, a2=a2, b2l=b2l, m1=m1, m2=m2,
+            )
+            out = CK.dispatch_convffn(y.reshape(b, hh * ww, c), p, s_lora)
+            return out.reshape(b, hh, ww, c)
         if F.ffn_fold_active(train):
             # Fold the post-depthwise BN affine into the fc1 1x1 kernel (and
             # the LoRA A via in_affine): fc1(y*inv + shift) =

@@ -145,6 +145,22 @@ class ConvParams(nn.Module):
         return self.param("kernel", torch_kaiming_uniform(_conv_fan_in), shape)
 
 
+class ZeroConvParams(nn.Module):
+    """Kernel-only zero-initialised conv holder (matches ``nn.Conv`` with
+    ``kernel_init=zeros`` — the LoRA ``lora_B`` convention)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Array:
+        kh, kw = self.kernel_size
+        return self.param(
+            "kernel", nn.initializers.zeros,
+            (kh, kw, in_features, self.features),
+        )
+
+
 class DenseConvParams(nn.Module):
     """Kernel+bias holder matching a biased ``nn.layers.Conv``."""
 
