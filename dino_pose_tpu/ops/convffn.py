@@ -96,14 +96,14 @@ def _convffn_fwd_kernel(
     y = y_ref[...]                                   # (G, Sp, C)
     dt = y.dtype
     m = (y.astype(jnp.float32) * inv[0] + shift[0]).astype(dt)
-    u1 = _mm3(m, a1[...]) * m1_ref[...][:, None, :]  # (G, Sp, R) f32
+    u1 = _mm3(m, a1[...]) * m1_ref[...]              # masks (G, 1, R) broadcast
     h = (
         _mm3(m, w1[...]).astype(dt)
         + b1[0].astype(dt)
         + (_mm3(u1.astype(dt), b1l[...]) * s_lora).astype(dt)
     )
     g = _gelu_exact(h)
-    u2 = _mm3(g, a2[...]) * m2_ref[...][:, None, :]
+    u2 = _mm3(g, a2[...]) * m2_ref[...]
     out_ref[...] = (
         _mm3(g, w2[...]).astype(dt)
         + b2[0].astype(dt)
@@ -124,8 +124,8 @@ def _convffn_bwd_kernel(
     i = pl.program_id(0)
     y = y_ref[0]                                     # (Spt, C)
     df = df_ref[0].astype(jnp.float32)
-    m1 = m1_ref[...]                                 # (1, R) f32
-    m2 = m2_ref[...]
+    m1 = m1_ref[0]                                   # (1, R) f32
+    m2 = m2_ref[0]
     dt = y.dtype
     yf = y.astype(jnp.float32)
 
@@ -245,7 +245,10 @@ def fused_convffn(y: Array, p: ConvFFNParams, s_lora: float) -> Array:
             f"H={h}) — convffn_fused_enabled should have rejected this shape"
         )
     yspec = pl.BlockSpec((g, sp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((g, r), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Masks ride as (B, 1, R): the unit middle axis keeps the last-two block
+    # dims equal to the array dims (Mosaic's tiling constraint — a (g, R)
+    # block with g < 8 on the sublane axis is rejected).
+    mspec = pl.BlockSpec((g, 1, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_convffn_fwd_kernel, s_lora=s_lora),
         grid=(b // g,),
@@ -258,7 +261,12 @@ def fused_convffn(y: Array, p: ConvFFNParams, s_lora: float) -> Array:
             transcendentals=b * sp * h,
         ),
         interpret=_dispatch_target()[0] != "tpu",
-    )(yp, p.m1.astype(jnp.float32), p.m2.astype(jnp.float32), *args)
+    )(
+        yp,
+        p.m1.astype(jnp.float32).reshape(b, 1, r),
+        p.m2.astype(jnp.float32).reshape(b, 1, r),
+        *args,
+    )
     return out[:, :s, :] if sp != s else out
 
 
@@ -287,7 +295,9 @@ def _convffn_bwd(s_lora, residuals, df):
     yspec = pl.BlockSpec(
         (1, spt, c), lambda i_: (i_ // kt, i_ % kt, 0), memory_space=pltpu.VMEM
     )
-    mspec = pl.BlockSpec((1, r), lambda i_: (i_ // kt, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec(
+        (1, 1, r), lambda i_: (i_ // kt, 0, 0), memory_space=pltpu.VMEM
+    )
     acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     aspec = lambda shape: pl.BlockSpec(
         shape, lambda i_: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -306,7 +316,12 @@ def _convffn_bwd(s_lora, residuals, df):
             acc((r, h)), acc((h, r)), acc((r, c)),
         ],
         interpret=_dispatch_target()[0] != "tpu",
-    )(yp, dfp, p.m1.astype(jnp.float32), p.m2.astype(jnp.float32), *args)
+    )(
+        yp, dfp,
+        p.m1.astype(jnp.float32).reshape(b, 1, r),
+        p.m2.astype(jnp.float32).reshape(b, 1, r),
+        *args,
+    )
     zeros = lambda a: jnp.zeros_like(a)
     dp = ConvFFNParams(
         inv=dinv[0].astype(p.inv.dtype),
@@ -375,6 +390,14 @@ def convffn_fused_enabled(
     if train and lora_rank == 0:
         return False
     if override != "force":
+        # Measured win window (t8 @ 256^2, bs=128, one v5e chip — see
+        # PERFORMANCE.md "fused ConvFFN"): in isolation the kernel beats the
+        # XLA chain at every stage (fwd+bwd 1.08/1.38/1.09/1.03x for
+        # C=48/96/192/384), but in the full step the pallas_call boundary
+        # costs XLA its neighbour fusions, so only the decisive middle-stage
+        # wins survive end-to-end. Gate to those geometries.
+        if not (64 <= c <= 256):
+            return False
         platform, n_devices = _dispatch_target()
         if platform != "tpu":
             return False

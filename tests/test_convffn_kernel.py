@@ -126,6 +126,15 @@ def test_gate_semantics():
     assert not CK.convffn_fused_enabled(48, 144, 4096, 2, True, 0, batch=8)
     # Off-TPU without the force hook: ineligible.
     assert not CK.convffn_fused_enabled(48, 144, 4096, 2, True, 8, batch=8)
+    # The measured win window (64 <= C <= 256) applies on the real dispatch
+    # path but NOT under force (the A/B/microbench hook must reach every
+    # stage) — window channels stay eligible under force, others too.
+    os.environ["DINO_POSE_TPU_CONVFFN"] = "force"
+    try:
+        assert CK.convffn_fused_enabled(96, 288, 1024, 2, True, 8, batch=8)
+        assert CK.convffn_fused_enabled(384, 1152, 64, 2, True, 8, batch=8)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_CONVFFN", None)
     os.environ["DINO_POSE_TPU_CONVFFN"] = "force"
     try:
         assert CK.convffn_fused_enabled(48, 144, 4096, 2, True, 8, batch=8)
