@@ -245,7 +245,14 @@ class BNAffine(nn.Module):
 
 def channel_moments(x: Array, strides: tuple[int, int] = (1, 1)):
     """Per-channel f32 (mean, mean-of-square, count) over N,H,W — on the
-    branch's *output* grid, i.e. the stride-sampled positions."""
+    branch's *output* grid, i.e. the stride-sampled positions.
+
+    One-pass moments (var = m2 - mean^2, see ``branch_stats``): exact
+    algebraically but subject to cancellation if a channel mean grows much
+    larger than its std. Every consumer (reuse skip/scale branches, the
+    fold path) feeds BN-bounded activations where means stay O(1), and the
+    parity tests pin the tolerance; revisit if a consumer ever feeds
+    un-normalised activations."""
     sh, sw = strides
     if (sh, sw) != (1, 1):
         x = x[:, ::sh, ::sw, :]

@@ -364,8 +364,24 @@ def dispatch_convffn(y: Array, p: ConvFFNParams, s_lora: float) -> Array:
     _, n_devices = _dispatch_target()
     if n_devices > 1:
         mesh = _dp_shard_mesh(y.shape[0])
-        if mesh is not None:
-            return fused_convffn_sharded(y, p, s_lora, mesh)
+        if mesh is None:
+            # Only reachable under DINO_POSE_TPU_CONVFFN=force (the normal
+            # gate rejects non-pure-DP topologies): a bare pallas_call on a
+            # SHARDED global array inside jit is not SPMD-partitionable.
+            # Force-mode callers (CPU parity tests, microbenches) trace
+            # unsharded local arrays, for which the bare kernel is correct —
+            # warn so a sharded-trace misuse is attributable.
+            import warnings
+
+            warnings.warn(
+                "dispatch_convffn: force-mode on a non-pure-DP multi-device "
+                f"trace (n_devices={n_devices}, batch={y.shape[0]}) falls "
+                "back to an unpartitionable bare kernel — only valid for "
+                "unsharded (single-device or fully replicated) operands",
+                stacklevel=2,
+            )
+            return fused_convffn(y, p, s_lora)
+        return fused_convffn_sharded(y, p, s_lora, mesh)
     return fused_convffn(y, p, s_lora)
 
 

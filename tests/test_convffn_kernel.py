@@ -124,8 +124,10 @@ def test_dropout_mechanics():
 def test_gate_semantics():
     # Train without LoRA trains the base fc1/fc2 -> kernel ineligible.
     assert not CK.convffn_fused_enabled(48, 144, 4096, 2, True, 0, batch=8)
-    # Off-TPU without the force hook: ineligible.
-    assert not CK.convffn_fused_enabled(48, 144, 4096, 2, True, 8, batch=8)
+    # Off-TPU without the force hook: ineligible. Use an in-window channel
+    # count (96) so this rejection exercises the platform check specifically
+    # rather than falling at the 64 <= C <= 256 window first.
+    assert not CK.convffn_fused_enabled(96, 288, 4096, 2, True, 8, batch=8)
     # The measured win window (64 <= C <= 256) applies on the real dispatch
     # path but NOT under force (the A/B/microbench hook must reach every
     # stage) — window channels stay eligible under force, others too.
