@@ -558,10 +558,11 @@ class ConvFFN(nn.Module):
         from dino_pose_tpu.ops import convffn as CK
 
         c = x.shape[-1]
-        y = L.Conv(
-            c, kernel_size=(7, 7), padding=(3, 3), feature_group_count=c,
-            use_bias=False, name="conv",
-        )(x)
+        # Same parameter ('conv'/kernel, torch kaiming init) as the L.Conv
+        # this replaces; dw_branch_conv routes stride-1 depthwise shapes
+        # through the lane-packed Pallas kernel when gated (ops/dwconv.py).
+        kern = F.ConvParams(c, (7, 7), c, name="conv")(c)
+        y = F.dw_branch_conv(x, kern, (1, 1), c)
         b, hh, ww, _ = y.shape
         if CK.convffn_fused_enabled(
             c, self.hidden, hh * ww, y.dtype.itemsize, train, self.lora_rank,

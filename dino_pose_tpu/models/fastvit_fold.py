@@ -325,6 +325,33 @@ def fold_stats_branch(
     )
 
 
+def dw_branch_conv(x: Array, kernel: Array, strides, groups) -> Array:
+    """One branch conv, routed through the lane-packed Pallas depthwise
+    kernel (ops/dwconv.py) when the shape qualifies: stride-1 multiplier-1
+    depthwise convs at C < 128 are the FastViT stage-0/1 whale (37.5% lane
+    fill under XLA's grouped-conv lowering). The Pallas path consumes the
+    f32 kernel exactly (no bf16 weight rounding) and returns a ZERO kernel
+    cotangent — valid because every FastViT backbone conv is frozen in
+    every training mode (train/partition.py)."""
+    from dino_pose_tpu.ops import dwconv as DW
+
+    bk = kernel.shape[0]
+    b_, hh, ww, in_ch = x.shape
+    if (
+        strides == (1, 1)
+        and kernel.shape[2] == 1
+        and groups == in_ch == kernel.shape[-1]
+        and DW.dwconv_enabled(in_ch, hh, ww, bk, x.dtype.itemsize, batch=b_)
+    ):
+        return DW.dispatch_dw_conv(x, kernel)
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=strides,
+        padding=[(bk // 2, bk // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
 def stats_branch_reuse(
     x: Array,
     kernel: Array,
@@ -339,13 +366,7 @@ def stats_branch_reuse(
     affine, and returns ``(y, inv, shift)`` so the caller accumulates
     ``inv * y + shift`` elementwise instead of re-convolving x with a
     folded kernel (:func:`reuse_enabled`)."""
-    bk = kernel.shape[0]
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), window_strides=strides,
-        padding=[(bk // 2, bk // 2)] * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    y = dw_branch_conv(x, kernel, strides, groups)
     mean, var, n = branch_stats(y)
     inv, shift = bn(mean, var, n, train=True)
     return y, inv, shift
