@@ -553,15 +553,90 @@ class ConvFFN(nn.Module):
     lora_alpha: float = 16.0
     lora_dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def _fused_params(self, inv, shift, c: int, b: int, train: bool):
+        """(ConvFFNParams, s_lora) for the fused kernels: squeezed fc1/fc2
+        kernels, LoRA adapters (rank-1 zeros when disabled) and the
+        per-(sample, rank) Dropout2d masks (reference lora.py:112-120)."""
         from dino_pose_tpu.ops import convffn as CK
+
+        k1, b1 = F.DenseConvParams(self.hidden, (1, 1), name="fc1")(c)
+        k2, b2 = F.DenseConvParams(c, (1, 1), name="fc2")(self.hidden)
+        r = self.lora_rank
+        if r > 0:
+            a1, b1l = ConvLoRAParams(r, self.hidden, name="fc1_lora")(c)
+            a2, b2l = ConvLoRAParams(r, c, name="fc2_lora")(self.hidden)
+            s_lora = self.lora_alpha / r
+            if train and self.lora_dropout > 0.0:
+                keep = 1.0 - self.lora_dropout
+                draw = lambda: (
+                    jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, (b, r)
+                    ).astype(jnp.float32)
+                    / keep
+                )
+                m1, m2 = draw(), draw()
+            else:
+                m1 = m2 = jnp.ones((b, r), jnp.float32)
+        else:
+            # Rank-1 zero adapters: algebraically absent, one kernel.
+            a1 = jnp.zeros((c, 1), jnp.float32)
+            b1l = jnp.zeros((1, self.hidden), jnp.float32)
+            a2 = jnp.zeros((self.hidden, 1), jnp.float32)
+            b2l = jnp.zeros((1, c), jnp.float32)
+            m1 = m2 = jnp.ones((b, 1), jnp.float32)
+            s_lora = 1.0
+        p = CK.ConvFFNParams(
+            inv=inv, shift=shift, w1=k1[0, 0], b1=b1, w2=k2[0, 0], b2=b2,
+            a1=a1, b1l=b1l, a2=a2, b2l=b2l, m1=m1, m2=m2,
+        )
+        return p, s_lora
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        *,
+        train: bool,
+        pair: tuple | None = None,
+        ls2: Array | None = None,
+    ) -> Array:
+        from dino_pose_tpu.ops import convffn as CK
+        from dino_pose_tpu.ops import dwconv as DWK
 
         c = x.shape[-1]
         # Same parameter ('conv'/kernel, torch kaiming init) as the L.Conv
         # this replaces; dw_branch_conv routes stride-1 depthwise shapes
         # through the lane-packed Pallas kernel when gated (ops/dwconv.py).
         kern = F.ConvParams(c, (7, 7), c, name="conv")(c)
+        if pair is not None:
+            # Fused-pair path (FastViTBlock): ``x`` is the BLOCK input and
+            # the return value is the BLOCK output
+            #     x2 = a*x + b*y0 + bias            (RepMixer, combined)
+            #     out = x2 + ls2 * ConvFFN(x2)
+            # via two segment kernels — combine+dw7 (ops/dwconv.py) and
+            # BN-affine+FFN+LoRA+residual (ops/convffn.py) — with the two
+            # batch-stat barriers (y0 handled by the caller, y7 here) at
+            # the XLA level between them. LayerScale folds into the
+            # output-side parameters (w2, b2, b2l) at the XLA level: valid
+            # for gradients because w2/b2 are frozen (zero cotangent) and
+            # b2l's chain runs through the visible multiply; ls2 itself is
+            # frozen in every FastViT training mode (train/partition.py).
+            a, bvec, biasvec, y0 = pair
+            x2, y7 = DWK.dispatch_combine_dw(x, y0, a, bvec, biasvec, kern)
+            b, hh, ww, _ = y7.shape
+            bn = F.BNAffine(c, name="conv_bn")
+            mean, var, n = F.branch_stats(y7)
+            inv, shift = bn(mean, var, n, train=True)
+            p, s_lora = self._fused_params(inv, shift, c, b, train)
+            ls2f = ls2.astype(jnp.float32)
+            p = p._replace(
+                w2=p.w2 * ls2f[None, :], b2=p.b2 * ls2f,
+                b2l=p.b2l * ls2f[None, :],
+            )
+            out = CK.dispatch_convffn_res(
+                y7.reshape(b, hh * ww, c), x2.reshape(b, hh * ww, c), p, s_lora
+            )
+            return out.reshape(b, hh, ww, c)
         y = F.dw_branch_conv(x, kern, (1, 1), c)
         b, hh, ww, _ = y.shape
         if CK.convffn_fused_enabled(
@@ -578,40 +653,7 @@ class ConvFFN(nn.Module):
                 inv, shift = bn(mean, var, n, train=True)
             else:
                 inv, shift = bn(train=False)
-            k1, b1 = F.DenseConvParams(self.hidden, (1, 1), name="fc1")(c)
-            k2, b2 = F.DenseConvParams(c, (1, 1), name="fc2")(self.hidden)
-            r = self.lora_rank
-            if r > 0:
-                a1, b1l = ConvLoRAParams(r, self.hidden, name="fc1_lora")(c)
-                a2, b2l = ConvLoRAParams(r, c, name="fc2_lora")(self.hidden)
-                s_lora = self.lora_alpha / r
-                if train and self.lora_dropout > 0.0:
-                    # Dropout2d over the rank channels (reference
-                    # lora.py:112-120 / flax broadcast_dims=(1, 2)): one
-                    # keep/drop decision per (sample, rank channel),
-                    # pre-scaled by 1/keep.
-                    keep = 1.0 - self.lora_dropout
-                    draw = lambda: (
-                        jax.random.bernoulli(
-                            self.make_rng("dropout"), keep, (b, r)
-                        ).astype(jnp.float32)
-                        / keep
-                    )
-                    m1, m2 = draw(), draw()
-                else:
-                    m1 = m2 = jnp.ones((b, r), jnp.float32)
-            else:
-                # Rank-1 zero adapters: algebraically absent, one kernel.
-                a1 = jnp.zeros((c, 1), jnp.float32)
-                b1l = jnp.zeros((1, self.hidden), jnp.float32)
-                a2 = jnp.zeros((self.hidden, 1), jnp.float32)
-                b2l = jnp.zeros((1, c), jnp.float32)
-                m1 = m2 = jnp.ones((b, 1), jnp.float32)
-                s_lora = 1.0
-            p = CK.ConvFFNParams(
-                inv=inv, shift=shift, w1=k1[0, 0], b1=b1, w2=k2[0, 0], b2=b2,
-                a1=a1, b1l=b1l, a2=a2, b2l=b2l, m1=m1, m2=m2,
-            )
+            p, s_lora = self._fused_params(inv, shift, c, b, train)
             out = CK.dispatch_convffn(y.reshape(b, hh * ww, c), p, s_lora)
             return out.reshape(b, hh, ww, c)
         if F.ffn_fold_active(train):
@@ -662,8 +704,39 @@ class RepMixer(nn.Module):
     layer_scale_init: float
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(
+        self, x: Array, *, train: bool, return_combine: bool = False
+    ) -> Array:
         c = x.shape[-1]
+        if return_combine:
+            # Fused-pair path (FastViTBlock): return the UNAPPLIED mixer as
+            # (a, b, bias, y0) with out = a*x + b*y0 + bias — the whole
+            # RepMixer in reuse form is one materialised 3x3 depthwise
+            # branch plus per-channel coefficients, so the combine can fuse
+            # into the downstream segment kernel (ops/dwconv.py).
+            if not (train and F.block_reuse_active(train)):
+                raise ValueError("return_combine requires the reuse train mode")
+            terms_m, xc_m, bias_m = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False, name="mixer"
+            )(x, train=True, return_terms=True)
+            terms_n, xc_n, bias_n = MobileOneBlock(
+                c, kernel_size=3, groups=c, use_act=False,
+                use_scale_branch=False, num_conv_branches=0, name="norm",
+            )(x, train=True, return_terms=True)
+            if len(terms_m) != 1 or terms_n:
+                raise ValueError(
+                    "return_combine expects exactly one materialised mixer "
+                    "branch (num_conv_branches=1) and a stats-only norm"
+                )
+            ls = self.param(
+                "layer_scale", nn.initializers.constant(self.layer_scale_init), (c,)
+            )
+            lsf = ls.astype(jnp.float32)
+            inv0, y0 = terms_m[0]
+            a = 1.0 + lsf * (xc_m - xc_n)
+            b = lsf * inv0
+            bias = lsf * (bias_m - bias_n)
+            return a, b, bias, y0
         if F.block_fold_active(train) and F.block_reuse_active(train):
             # Reuse form: the mixer's 3x3 depthwise branch output y0 is
             # materialised for its statistics; every other branch of mixer
@@ -771,9 +844,42 @@ class FastViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
+        from dino_pose_tpu.ops import convffn as CK
+        from dino_pose_tpu.ops import dwconv as DWK
+
         c = x.shape[-1]
         ls_init = self.cfg.layer_scale_init
         if self.mixer == "repmixer":
+            bsz, hh, ww, _ = x.shape
+            hidden = int(c * self.mlp_ratio)
+            if (
+                train
+                and F.block_fold_active(train)
+                and F.block_reuse_active(train)
+                and DWK.pair_enabled(
+                    c, hh, ww, 7, x.dtype.itemsize, batch=bsz
+                )
+                and CK.convffn_res_enabled(
+                    c, hidden, hh * ww, x.dtype.itemsize, True,
+                    self.cfg.lora_rank, batch=bsz,
+                )
+            ):
+                # Fused-pair path: the whole RepMixer+ConvFFN residual pair
+                # runs as two segment kernels around the batch-stat
+                # barriers (see ConvFFN's pair branch).
+                pair = RepMixer(ls_init, name="token_mixer")(
+                    x, train=True, return_combine=True
+                )
+                ls2 = self.param(
+                    "layer_scale_2", nn.initializers.constant(ls_init), (c,)
+                )
+                return ConvFFN(
+                    hidden=hidden,
+                    lora_rank=self.cfg.lora_rank,
+                    lora_alpha=self.cfg.lora_alpha,
+                    lora_dropout=self.cfg.lora_dropout,
+                    name="mlp",
+                )(x, train=True, pair=pair, ls2=ls2)
             x = RepMixer(ls_init, name="token_mixer")(x, train=train)
         else:
             ls1 = self.param("layer_scale_1", nn.initializers.constant(ls_init), (c,))

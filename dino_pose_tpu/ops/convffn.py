@@ -91,7 +91,7 @@ def _mm3(a: Array, b: Array) -> Array:
 
 def _convffn_fwd_kernel(
     y_ref, m1_ref, m2_ref, inv, shift, w1, b1, w2, b2, a1, b1l, a2, b2l,
-    out_ref, *, s_lora: float,
+    out_ref, *, s_lora: float, res_ref=None,
 ):
     y = y_ref[...]                                   # (G, Sp, C)
     dt = y.dtype
@@ -104,11 +104,14 @@ def _convffn_fwd_kernel(
     )
     g = _gelu_exact(h)
     u2 = _mm3(g, a2[...]) * m2_ref[...]
-    out_ref[...] = (
+    out = (
         _mm3(g, w2[...]).astype(dt)
         + b2[0].astype(dt)
         + (_mm3(u2.astype(dt), b2l[...]) * s_lora).astype(dt)
     )
+    if res_ref is not None:
+        out = out + res_ref[...]
+    out_ref[...] = out
 
 
 def _convffn_bwd_kernel(
@@ -176,12 +179,14 @@ _FWD_BUDGET = 12 * 1024 * 1024
 _BWD_BUDGET = 10 * 1024 * 1024
 
 
-def _fwd_bytes(g: int, sp: int, c: int, h: int, r: int, i: int) -> int:
+def _fwd_bytes(
+    g: int, sp: int, c: int, h: int, r: int, i: int, streams: int = 2
+) -> int:
     """Conservative VMEM model of the forward working set at g rows."""
-    streams = 2 * (2 * g * sp * c * i)              # y in + out, 2x-buffered
+    stream_b = streams * (2 * g * sp * c * i)       # y (+res) in + out, 2x-buffered
     temps = g * sp * c * (i + 4) + g * sp * h * (2 * i + 8) + g * sp * r * 12
     weights = 2 * c * h * i + 2 * r * (c + h) * i
-    return streams + temps + weights
+    return stream_b + temps + weights
 
 
 def _bwd_bytes(spt: int, c: int, h: int, r: int, i: int) -> int:
@@ -201,6 +206,31 @@ def _fwd_rows(sp: int, c: int, h: int, r: int, itemsize: int, batch: int) -> int
     while g > 1 and batch % g:
         g //= 2
     return g
+
+
+def _fwd_plan(
+    sp: int, c: int, h: int, r: int, itemsize: int, batch: int, streams: int,
+) -> tuple[int, int]:
+    """(g, kt): g whole samples per program when the sample fits, else one
+    sample split into kt row chunks (the residual variant at stage-0
+    geometry needs chunking: S=4096 with a third stream outgrows VMEM)."""
+    g = 0
+    for cand in (8, 4, 2, 1):
+        if _fwd_bytes(cand, sp, c, h, r, itemsize, streams) <= _FWD_BUDGET:
+            g = cand
+            break
+    while g > 1 and batch % g:
+        g //= 2
+    if g:
+        return g, 1
+    kt = 2
+    while kt <= sp // 8:
+        if sp % kt == 0 and (sp // kt) % 8 == 0 and _fwd_bytes(
+            1, sp // kt, c, h, r, itemsize, streams
+        ) <= _FWD_BUDGET:
+            return 1, kt
+        kt *= 2
+    return 0, 0
 
 
 def _bwd_row_chunks(sp: int, c: int, h: int, r: int, itemsize: int) -> int:
@@ -335,6 +365,154 @@ def _convffn_bwd(s_lora, residuals, df):
 
 
 fused_convffn.defvjp(_convffn_fwd, _convffn_bwd)
+
+
+def _convffn_fwd_res_kernel(y_ref, res_ref, m1_ref, m2_ref, *args, s_lora):
+    _convffn_fwd_kernel(
+        y_ref, m1_ref, m2_ref, *args, s_lora=s_lora, res_ref=res_ref
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_convffn_res(y: Array, res: Array, p: ConvFFNParams, s_lora: float):
+    """``res + fc2(gelu(fc1(y*inv+shift) + lora1)) + lora2`` — the ConvFFN
+    chain with the block residual fused in, so the block output leaves the
+    kernel directly (the fused-pair path's kernel C; models/fastvit.py).
+
+    The caller folds LayerScale into (w2, b2, b2l) at the XLA parameter
+    level, so ``res`` enters unscaled and its cotangent is the pass-through
+    ``df`` (zero extra backward work). Same differentiability contract as
+    :func:`fused_convffn` otherwise."""
+    b, s, c = y.shape
+    sp = -(-s // 8) * 8
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+    yp = jnp.pad(y, pad) if sp != s else y
+    rp = jnp.pad(res, pad) if sp != s else res
+    r = p.a1.shape[-1]
+    h = p.w1.shape[-1]
+    args = _prep(p, y.dtype)
+    g, kt = _fwd_plan(sp, c, h, r, y.dtype.itemsize, b, streams=3)
+    if g == 0:
+        raise ValueError(
+            f"fused_convffn_res forward does not fit VMEM at (S={s}, C={c}, "
+            f"H={h}) — the dispatch gate should have rejected this shape"
+        )
+    if kt == 1:
+        grid = (b // g,)
+        yspec = pl.BlockSpec(
+            (g, sp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        mspec = pl.BlockSpec(
+            (g, 1, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (b * kt,)
+        spt = sp // kt
+        yspec = pl.BlockSpec(
+            (1, spt, c), lambda i: (i // kt, i % kt, 0), memory_space=pltpu.VMEM
+        )
+        mspec = pl.BlockSpec(
+            (1, 1, r), lambda i: (i // kt, 0, 0), memory_space=pltpu.VMEM
+        )
+    out = pl.pallas_call(
+        functools.partial(_convffn_fwd_res_kernel, s_lora=s_lora),
+        grid=grid,
+        in_specs=[yspec, yspec, mspec, mspec] + [_CONST(a) for a in args],
+        out_specs=yspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sp * c * h,
+            bytes_accessed=3 * b * sp * c * y.dtype.itemsize,
+            transcendentals=b * sp * h,
+        ),
+        interpret=_dispatch_target()[0] != "tpu",
+    )(
+        yp, rp,
+        p.m1.astype(jnp.float32).reshape(b, 1, r),
+        p.m2.astype(jnp.float32).reshape(b, 1, r),
+        *args,
+    )
+    return out[:, :s, :] if sp != s else out
+
+
+def _convffn_res_fwd(y, res, p, s_lora):
+    return fused_convffn_res(y, res, p, s_lora), (y, p)
+
+
+def _convffn_res_bwd(s_lora, residuals, df):
+    # The residual is additive: dres = df exactly; everything else is the
+    # proven fused_convffn backward.
+    y, p = residuals
+    dy, dp = _convffn_bwd(s_lora, (y, p), df)
+    return dy, df, dp
+
+
+fused_convffn_res.defvjp(_convffn_res_fwd, _convffn_res_bwd)
+
+
+def fused_convffn_res_sharded(
+    y: Array, res: Array, p: ConvFFNParams, s_lora: float, mesh
+) -> Array:
+    """Pure-DP shard_map wrapper of the residual variant (see
+    :func:`fused_convffn_sharded`)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    pspecs = ConvFFNParams(
+        inv=P(), shift=P(), w1=P(), b1=P(), w2=P(), b2=P(),
+        a1=P(), b1l=P(), a2=P(), b2l=P(), m1=P("data"), m2=P("data"),
+    )
+    return shard_map(
+        lambda y_, r_, p_: fused_convffn_res(y_, r_, p_, s_lora),
+        mesh=mesh, in_specs=(P("data"), P("data"), pspecs),
+        out_specs=P("data"), check_rep=False,
+    )(y, res, p)
+
+
+def dispatch_convffn_res(y: Array, res: Array, p: ConvFFNParams, s_lora: float):
+    """Single-device direct, shard_map on pure-DP meshes."""
+    from dino_pose_tpu.ops.block import _dp_shard_mesh
+
+    _, n_devices = _dispatch_target()
+    if n_devices > 1:
+        mesh = _dp_shard_mesh(y.shape[0])
+        if mesh is None:
+            import warnings
+
+            warnings.warn(
+                "dispatch_convffn_res: force-mode on a non-pure-DP "
+                f"multi-device trace (n_devices={n_devices}) falls back to "
+                "an unpartitionable bare kernel — only valid for unsharded "
+                "operands",
+                stacklevel=2,
+            )
+            return fused_convffn_res(y, res, p, s_lora)
+        return fused_convffn_res_sharded(y, res, p, s_lora, mesh)
+    return fused_convffn_res(y, res, p, s_lora)
+
+
+def convffn_res_enabled(
+    c: int, hidden: int, s: int, itemsize: int, train: bool, lora_rank: int,
+    batch: int | None = None,
+) -> bool:
+    """Fit/contract gate for the residual variant, used as a component of
+    the fused-pair path (the pair gate — ops/dwconv.py ``pair_enabled`` —
+    owns the platform/topology checks; this one owns the ConvFFN-side
+    contract: LoRA-frozen training and VMEM fit, honoring the same
+    ``DINO_POSE_TPU_CONVFFN`` kill switch)."""
+    override = os.environ.get("DINO_POSE_TPU_CONVFFN", "").lower()
+    if override in ("0", "xla"):
+        return False
+    if train and lora_rank == 0:
+        return False
+    sp = -(-s // 8) * 8
+    r = max(1, lora_rank)
+    g, _ = _fwd_plan(sp, c, hidden, r, itemsize, batch or 1, streams=3)
+    if g == 0:
+        return False
+    if train and _bwd_row_chunks(sp, c, hidden, r, itemsize) == 0:
+        return False
+    return True
 
 
 def fused_convffn_sharded(y: Array, p: ConvFFNParams, s_lora: float, mesh) -> Array:

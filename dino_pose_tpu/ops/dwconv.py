@@ -68,28 +68,35 @@ def _dw_kernel(x_ref, mtaps_ref, out_ref, xp_ref, rm_ref, acc_ref, *,
             xp_ref[:p] = jnp.zeros((p, wc), jnp.float32)
             xp_ref[p + h:] = jnp.zeros((p, wc), jnp.float32)
         xp_ref[p:p + h] = x_ref[s].astype(jnp.float32)
-        acc_ref[...] = jnp.zeros((h, wc), jnp.float32)
-        ch = min(h, 16)  # row-chunked tap chains bound the live f32 temps
-
-        def dw_body(dw, carry):
-            # One lane roll per dw (dynamic shift), then the kk dh-taps as
-            # fused row-chunk FMA chains. A real loop (not unrolled python)
-            # keeps ONE iteration's temporaries live — unrolled, Mosaic's
-            # stack allocator sums the roll/chain temps across iterations
-            # and blows the 16 MB scoped-VMEM limit at stage shapes.
-            sh = ((p - dw) * c) % wc
-            rm_ref[...] = pltpu.roll(xp_ref[...], sh, 1)
-            for r in range(0, h, ch):
-                part = rm_ref[r:r + ch] * mtaps_ref[pl.ds(dw, 1)]
-                for dh in range(1, kk):
-                    part = part + rm_ref[r + dh:r + dh + ch] * mtaps_ref[
-                        pl.ds(dh * kk + dw, 1)
-                    ]
-                acc_ref[r:r + ch] += part
-            return carry
-
-        jax.lax.fori_loop(0, kk, dw_body, 0)
+        _tap_conv(xp_ref, rm_ref, acc_ref, mtaps_ref, kk=kk, c=c, h=h, wc=wc)
         out_ref[s] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _tap_conv(xp_ref, rm_ref, acc_ref, mtaps_ref, *, kk, c, h, wc):
+    """acc = kk x kk tap conv of the padded plane in ``xp_ref``.
+
+    One lane roll per dw (dynamic shift), then the kk dh-taps as fused
+    row-chunk FMA chains. A real loop (not unrolled python) keeps ONE
+    iteration's temporaries live — unrolled, Mosaic's stack allocator sums
+    the roll/chain temps across iterations and blows the 16 MB scoped-VMEM
+    limit at stage shapes."""
+    p = kk // 2
+    ch = min(h, 16)  # row-chunked tap chains bound the live f32 temps
+    acc_ref[...] = jnp.zeros((h, wc), jnp.float32)
+
+    def dw_body(dw, carry):
+        sh = ((p - dw) * c) % wc
+        rm_ref[...] = pltpu.roll(xp_ref[...], sh, 1)
+        for r in range(0, h, ch):
+            part = rm_ref[r:r + ch] * mtaps_ref[pl.ds(dw, 1)]
+            for dh in range(1, kk):
+                part = part + rm_ref[r + dh:r + dh + ch] * mtaps_ref[
+                    pl.ds(dh * kk + dw, 1)
+                ]
+            acc_ref[r:r + ch] += part
+        return carry
+
+    jax.lax.fori_loop(0, kk, dw_body, 0)
 
 
 def _prep_taps(kernel: Array, w: int, c: int) -> Array:
@@ -256,3 +263,268 @@ def dwconv_enabled(
             ) is None:
                 return False
     return _dw_rows(kk, h, w * c, itemsize, batch or 1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Fused [RepMixer-combine -> ConvFFN depthwise conv] segment kernel.
+#
+# In the reuse train form the whole span between the two batch-stat barriers
+# of a RepMixer+ConvFFN block is
+#
+#     x2 = a * x + b * y0 + bias        # RepMixer output as per-channel
+#                                       # affine combine (models/fastvit.py)
+#     y7 = dwconv7x7(x2)                # ConvFFN's depthwise conv
+#
+# with a = 1 + ls*(xc_m - xc_n), b = ls*inv0, bias = ls*(bias_m - bias_n)
+# all (C,) functions of the already-reduced statistics. One kernel swallows
+# the segment: the combine runs at full lane fill and x2 never makes an
+# extra HBM round trip between the combine and the conv. Backward is the
+# exact transpose: dx2 = dx2bar + corr7(dy7bar), dx = a*dx2, dy0 = b*dx2,
+# plus per-channel reductions for (da, db, dbias); the conv kernel is
+# frozen (zero cotangent) as everywhere in this module.
+
+
+def _combine_dw_fwd_kernel(
+    x_ref, y0_ref, a_ref, b_ref, bias_ref, mtaps_ref, x2_ref, y7_ref,
+    xp_ref, rm_ref, acc_ref, *, kk: int, c: int, h: int, wc: int, g: int,
+):
+    p = kk // 2
+    for s in range(g):
+        x2f = (
+            x_ref[s].astype(jnp.float32) * a_ref[0]
+            + y0_ref[s].astype(jnp.float32) * b_ref[0]
+            + bias_ref[0]
+        )
+        x2b = x2f.astype(x2_ref.dtype)
+        x2_ref[s] = x2b
+        if p:
+            xp_ref[:p] = jnp.zeros((p, wc), jnp.float32)
+            xp_ref[p + h:] = jnp.zeros((p, wc), jnp.float32)
+        # The conv consumes the compute-dtype-rounded x2 — parity with the
+        # unfused path, where the ConvFFN conv reads the cast block output.
+        xp_ref[p:p + h] = x2b.astype(jnp.float32)
+        _tap_conv(xp_ref, rm_ref, acc_ref, mtaps_ref, kk=kk, c=c, h=h, wc=wc)
+        y7_ref[s] = acc_ref[...].astype(y7_ref.dtype)
+
+
+def _combine_dw_bwd_kernel(
+    x_ref, y0_ref, dx2_ref, dy7_ref, a_ref, b_ref, mtaps_ref,
+    dx_ref, dy0_ref, da_ref, db_ref, dbias_ref,
+    xp_ref, rm_ref, acc_ref, *, kk: int, c: int, h: int, wc: int,
+):
+    """One sample per program; ``mtaps_ref`` is the FLIPPED tap table (the
+    transpose of a stride-1 SAME conv). Coefficient cotangents accumulate
+    in VMEM across the sequential grid as (1, W*C) rows (reduced to (C,)
+    outside)."""
+    i = pl.program_id(0)
+    p = kk // 2
+    if p:
+        xp_ref[:p] = jnp.zeros((p, wc), jnp.float32)
+        xp_ref[p + h:] = jnp.zeros((p, wc), jnp.float32)
+    xp_ref[p:p + h] = dy7_ref[0].astype(jnp.float32)
+    _tap_conv(xp_ref, rm_ref, acc_ref, mtaps_ref, kk=kk, c=c, h=h, wc=wc)
+    dx2 = dx2_ref[0].astype(jnp.float32) + acc_ref[...]
+    dx_ref[0] = (dx2 * a_ref[0]).astype(dx_ref.dtype)
+    dy0_ref[0] = (dx2 * b_ref[0]).astype(dy0_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    da_ref[...] += jnp.sum(
+        dx2 * x_ref[0].astype(jnp.float32), axis=0, keepdims=True
+    )
+    db_ref[...] += jnp.sum(
+        dx2 * y0_ref[0].astype(jnp.float32), axis=0, keepdims=True
+    )
+    dbias_ref[...] += jnp.sum(dx2, axis=0, keepdims=True)
+
+
+def _tile_vec(v: Array, w: int, c: int) -> Array:
+    """(C,) -> (1, W*C) lane row matching the fused-view layout l = w*C+c."""
+    return jnp.tile(v.astype(jnp.float32).reshape(1, c), (1, w))
+
+
+def _pair_bytes(g: int, kk: int, h: int, wc: int, itemsize: int) -> int:
+    hp = h + 2 * (kk // 2)
+    streams = 4 * (2 * g * h * wc * itemsize)        # x, y0 in; x2, y7 out
+    scratch = 2 * hp * wc * 4 + h * wc * 4
+    temps = 2 * h * wc * 4 + 4 * min(h, 16) * wc * 4  # combine + chain chunks
+    consts = (kk * kk + 3) * wc * 4
+    return streams + scratch + temps + consts
+
+
+def _pair_rows(kk: int, h: int, wc: int, itemsize: int, batch: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if batch % cand == 0 and _pair_bytes(cand, kk, h, wc, itemsize) <= _DW_BUDGET:
+            return cand
+    return 0
+
+
+def _combine_dw_call(x4, y04, a, b_, bias, kernel):
+    b, h, w, c = x4.shape
+    kk = kernel.shape[0]
+    wc = w * c
+    x = x4.reshape(b, h, wc)
+    y0 = y04.reshape(b, h, wc)
+    mtaps = _prep_taps(kernel, w, c)
+    at, bt, biast = (_tile_vec(v, w, c) for v in (a, b_, bias))
+    g = _pair_rows(kk, h, wc, x.dtype.itemsize, b)
+    if g == 0:
+        raise ValueError(
+            f"combine_dw does not fit VMEM at (H={h}, W={w}, C={c}, k={kk})"
+            " — the dispatch gate should have rejected this shape"
+        )
+    spec = pl.BlockSpec((g, h, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    p = kk // 2
+    x2, y7 = pl.pallas_call(
+        functools.partial(_combine_dw_fwd_kernel, kk=kk, c=c, h=h, wc=wc, g=g),
+        grid=(b // g,),
+        in_specs=[spec, spec] + [_CONST(v) for v in (at, bt, biast, mtaps)],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wc), x.dtype),
+            jax.ShapeDtypeStruct((b, h, wc), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * p, wc), jnp.float32),
+            pltpu.VMEM((h + 2 * p, wc), jnp.float32),
+            pltpu.VMEM((h, wc), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * wc * (kk * kk + 2),
+            bytes_accessed=4 * b * h * wc * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_dispatch_target()[0] != "tpu",
+    )(x, y0, at, bt, biast, mtaps)
+    return x2.reshape(x4.shape), y7.reshape(x4.shape)
+
+
+@jax.custom_vjp
+def combine_dw_frozen(x, y0, a, b, bias, kernel):
+    """(x2, y7) = (a*x + b*y0 + bias, dwconv_kk(x2)) in one VMEM pass.
+
+    Differentiable in (x, y0, a, b, bias); the conv ``kernel`` gets a ZERO
+    cotangent (frozen-backbone contract — module docstring)."""
+    return _combine_dw_call(x, y0, a, b, bias, kernel)
+
+
+def _combine_dw_vjp_fwd(x, y0, a, b, bias, kernel):
+    return _combine_dw_call(x, y0, a, b, bias, kernel), (x, y0, a, b, kernel)
+
+
+def _combine_dw_vjp_bwd(res, cts):
+    x4, y04, a, b_, kernel = res
+    dx2bar, dy7bar = cts
+    bsz, h, w, c = x4.shape
+    kk = kernel.shape[0]
+    wc = w * c
+    mtaps_t = _prep_taps(jnp.flip(kernel, (0, 1)), w, c)
+    at, bt = _tile_vec(a, w, c), _tile_vec(b_, w, c)
+    spec = pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec = lambda: jax.ShapeDtypeStruct((1, wc), jnp.float32)
+    vspec = pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p = kk // 2
+    dx, dy0, da_t, db_t, dbias_t = pl.pallas_call(
+        functools.partial(_combine_dw_bwd_kernel, kk=kk, c=c, h=h, wc=wc),
+        grid=(bsz,),
+        in_specs=[spec] * 4 + [_CONST(v) for v in (at, bt, mtaps_t)],
+        out_specs=[spec, spec, vspec, vspec, vspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, wc), x4.dtype),
+            jax.ShapeDtypeStruct((bsz, h, wc), x4.dtype),
+            vec(), vec(), vec(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * p, wc), jnp.float32),
+            pltpu.VMEM((h + 2 * p, wc), jnp.float32),
+            pltpu.VMEM((h, wc), jnp.float32),
+        ],
+        interpret=_dispatch_target()[0] != "tpu",
+    )(
+        x4.reshape(bsz, h, wc), y04.reshape(bsz, h, wc),
+        dx2bar.reshape(bsz, h, wc), dy7bar.reshape(bsz, h, wc),
+        at, bt, mtaps_t,
+    )
+    reduce_c = lambda t, ref: t.reshape(w, c).sum(0).astype(ref.dtype)
+    return (
+        dx.reshape(x4.shape), dy0.reshape(x4.shape),
+        reduce_c(da_t, a), reduce_c(db_t, b_),
+        reduce_c(dbias_t, b_), jnp.zeros_like(kernel),
+    )
+
+
+combine_dw_frozen.defvjp(_combine_dw_vjp_fwd, _combine_dw_vjp_bwd)
+
+
+def combine_dw_sharded(x, y0, a, b, bias, kernel, mesh):
+    """Pure-DP shard_map wrapper: batch shards over 'data'; coefficient
+    vectors and the conv kernel replicate (shard_map's transpose sums the
+    replicated-spec cotangents — see ops/block.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        combine_dw_frozen, mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data")),
+        check_rep=False,
+    )(x, y0, a, b, bias, kernel)
+
+
+def dispatch_combine_dw(x, y0, a, b, bias, kernel):
+    """Single-device direct; shard_map on pure-DP meshes (the gate already
+    rejected every other topology)."""
+    from dino_pose_tpu.ops.block import _dp_shard_mesh
+
+    _, n_devices = _dispatch_target()
+    if n_devices > 1:
+        mesh = _dp_shard_mesh(x.shape[0])
+        if mesh is None:
+            import warnings
+
+            warnings.warn(
+                "dispatch_combine_dw: force-mode on a non-pure-DP "
+                f"multi-device trace (n_devices={n_devices}) falls back to "
+                "an unpartitionable bare kernel — only valid for unsharded "
+                "operands",
+                stacklevel=2,
+            )
+            return combine_dw_frozen(x, y0, a, b, bias, kernel)
+        return combine_dw_sharded(x, y0, a, b, bias, kernel, mesh)
+    return combine_dw_frozen(x, y0, a, b, bias, kernel)
+
+
+def pair_enabled(
+    c: int, h: int, w: int, kk: int, itemsize: int, batch: int | None = None,
+) -> bool:
+    """Dispatch gate for the fused combine+dwconv segment.
+
+    Same hardware window as the solo kernel (C < 128 lane-fill premise,
+    sublane-multiple H, 128-aligned W*C for Mosaic's dynamic roll, frozen
+    conv kernels — every FastViT training mode). Swallows the whole
+    barrier-to-barrier segment — the granularity the round-5 per-op A/B
+    showed is necessary — but the first cut still measured 69.3 vs 62.6
+    ms/step on t8 (PERFORMANCE.md round-5), so it stays opt-in pending the
+    attribution work: ``DINO_POSE_TPU_STAGE_PAIR=on`` enables on TPU,
+    ``force`` enables anywhere (interpret parity hook)."""
+    override = os.environ.get("DINO_POSE_TPU_STAGE_PAIR", "").lower()
+    if override not in ("on", "force"):
+        return False
+    if override != "force":
+        if not (c < 128 and h % 8 == 0 and w * c % 128 == 0):
+            return False
+        platform, n_devices = _dispatch_target()
+        if platform != "tpu":
+            return False
+        if n_devices > 1:
+            from dino_pose_tpu.ops.block import _dp_shard_mesh
+
+            if _dp_shard_mesh(
+                batch if batch is not None else n_devices, quiet_tp=True
+            ) is None:
+                return False
+    return _pair_rows(kk, h, w * c, itemsize, batch or 1) > 0

@@ -131,3 +131,81 @@ def test_sharded_dispatch_parity():
             np.testing.assert_allclose(g, g_ref, atol=2e-5, rtol=2e-5)
     finally:
         os.environ.pop("DINO_POSE_TPU_DWCONV", None)
+
+
+def _combine_ref(x, y0, a, b_, bias, k, kk):
+    x2f = (x.astype(jnp.float32) * a + y0.astype(jnp.float32) * b_ + bias)
+    x2 = x2f.astype(x.dtype)
+    return x2, _xla(x2, k, kk)
+
+
+@pytest.mark.parametrize("shape,kk", [((3, 16, 16, 48), 7), ((2, 8, 8, 20), 3)])
+def test_combine_dw_forward_parity(shape, kk):
+    rng = np.random.default_rng(4)
+    c = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    y0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    b_ = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(kk, kk, 1, c)).astype(np.float32))
+    x2_ref, y7_ref = _combine_ref(x, y0, a, b_, bias, k, kk)
+    x2, y7 = DW.combine_dw_frozen(x, y0, a, b_, bias, k)
+    np.testing.assert_allclose(x2, x2_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(y7, y7_ref, atol=5e-5, rtol=5e-5)
+
+
+def test_combine_dw_grad_parity():
+    rng = np.random.default_rng(5)
+    c, kk = 48, 7
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, c)).astype(np.float32))
+    y0 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    b_ = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(kk, kk, 1, c)).astype(np.float32))
+    ct2 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    ct7 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def loss_ref(x_, y0_, a_, bb_, bias_):
+        x2, y7 = _combine_ref(x_, y0_, a_, bb_, bias_, k, kk)
+        return jnp.vdot(x2, ct2) + jnp.vdot(y7, ct7)
+
+    def loss_k(x_, y0_, a_, bb_, bias_, k_):
+        x2, y7 = DW.combine_dw_frozen(x_, y0_, a_, bb_, bias_, k_)
+        return jnp.vdot(x2, ct2) + jnp.vdot(y7, ct7)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, y0, a, b_, bias)
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(x, y0, a, b_, bias, k)
+    for gr, gk, name in zip(g_ref, g_k, ("dx", "dy0", "da", "db", "dbias")):
+        np.testing.assert_allclose(gk, gr, atol=3e-4, rtol=3e-4, err_msg=name)
+    assert not np.any(np.asarray(g_k[5]))  # frozen conv kernel
+
+
+def test_combine_dw_sharded_parity():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dino_pose_tpu.core.mesh import create_mesh
+    from dino_pose_tpu.ops import dispatch
+
+    rng = np.random.default_rng(6)
+    c, kk = 48, 3
+    x = jnp.asarray(rng.normal(size=(8, 8, 8, c)).astype(np.float32))
+    y0 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    b_ = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(kk, kk, 1, c)).astype(np.float32))
+    x2_ref, y7_ref = _combine_ref(x, y0, a, b_, bias, k, kk)
+
+    os.environ["DINO_POSE_TPU_STAGE_PAIR"] = "force"
+    try:
+        with dispatch.scoped():
+            mesh = create_mesh()
+            sh = NamedSharding(mesh, P("data"))
+            xs, y0s = jax.device_put(x, sh), jax.device_put(y0, sh)
+            x2, y7 = jax.jit(DW.dispatch_combine_dw)(xs, y0s, a, b_, bias, k)
+            np.testing.assert_allclose(x2, x2_ref, atol=2e-5, rtol=2e-5)
+            np.testing.assert_allclose(y7, y7_ref, atol=5e-5, rtol=5e-5)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_STAGE_PAIR", None)
