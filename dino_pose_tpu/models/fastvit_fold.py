@@ -325,14 +325,100 @@ def fold_stats_branch(
     )
 
 
+def _parity_bwd_dx(dy: Array, kernel: Array, cin: int, h: int, w: int) -> Array:
+    """dx of a stride-2 SAME depthwise(-multiplier) conv as FOUR stride-1
+    grouped convs on dy (one per output-pixel parity class) + an interleave.
+
+    XLA lowers the transposed grouped conv to an input-dilated conv with a
+    degenerate batch-minor T(1,128) layout — the round-5 trace put the
+    three PatchEmbed conv backwards at 3.24/1.61/0.81 ms of the 63 ms t8
+    step. Splitting dx by (u, v) parity turns each class into a plain
+    stride-1 NHWC grouped conv (the strong path) over the kernel taps of
+    matching parity:
+
+        dx[2i'+ph, 2j'+pw, c] = sum_{kh,kw,m: parity match}
+            k[kh, kw, 0, c*M+m] * dy[i'+(p-kh+ph)/2, j'+(p-kw+pw)/2, c*M+m]
+
+    Validated numerically against the autodiff transpose
+    (tests/test_fastvit_fold.py).
+    """
+    kk = kernel.shape[0]
+    p = kk // 2
+    cout = kernel.shape[-1]
+    mult = cout // cin
+    kf = kernel.reshape(kk, kk, cout).astype(dy.dtype)
+    parts = []
+    for ph in range(2):
+        row = []
+        for pw in range(2):
+            khs = [kh for kh in range(kk) if (ph + p - kh) % 2 == 0]
+            kws = [kw for kw in range(kk) if (pw + p - kw) % 2 == 0]
+            ksub = kf[jnp.asarray(khs)][:, jnp.asarray(kws)]
+            # HWIO for the grouped dy->dx conv: out channel c reads in
+            # channels [c*M, (c+1)*M) -> kernel[..., m, c]; tap reversal
+            # turns the correlation into a conv.
+            kio = jnp.flip(
+                ksub.reshape(len(khs), len(kws), cin, mult), (0, 1)
+            ).transpose(0, 1, 3, 2)
+            # dy index for tap kh is i' + (p - kh + ph)/2; offsets are
+            # consecutive descending, so after the flip tap j sits at
+            # offset j + (offs[0] - n + 1) -> pad lo = -(offs[0] - n + 1).
+            off0_h = (p - khs[0] + ph) // 2
+            off0_w = (p - kws[0] + pw) // 2
+            nkh, nkw = len(khs), len(kws)
+            lo_h = -(off0_h - nkh + 1)
+            lo_w = -(off0_w - nkw + 1)
+            row.append(
+                jax.lax.conv_general_dilated(
+                    dy, kio, (1, 1),
+                    [(lo_h, nkh - 1 - lo_h), (lo_w, nkw - 1 - lo_w)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=cin,
+                )
+            )
+        parts.append(row)
+    top = jnp.stack([parts[0][0], parts[0][1]], axis=3)
+    bot = jnp.stack([parts[1][0], parts[1][1]], axis=3)
+    full = jnp.stack([top, bot], axis=2)  # (B, h/2, 2, w/2, 2, Cin)
+    return full.reshape(dy.shape[0], h, w, cin)
+
+
+@jax.custom_vjp
+def _dw_s2_conv_frozen(x: Array, kernel: Array) -> Array:
+    """Stride-2 SAME depthwise(-multiplier) conv: XLA forward, parity-
+    decomposed dx, ZERO kernel cotangent (frozen-backbone contract)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(2, 2),
+        padding=[(kernel.shape[0] // 2, kernel.shape[0] // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+def _dw_s2_fwd(x, kernel):
+    return _dw_s2_conv_frozen(x, kernel), (kernel, x.shape)
+
+
+def _dw_s2_bwd(res, dy):
+    kernel, xshape = res
+    dx = _parity_bwd_dx(dy, kernel, xshape[-1], xshape[1], xshape[2])
+    return dx.astype(dy.dtype), jnp.zeros_like(kernel)
+
+
+_dw_s2_conv_frozen.defvjp(_dw_s2_fwd, _dw_s2_bwd)
+
+
 def dw_branch_conv(x: Array, kernel: Array, strides, groups) -> Array:
-    """One branch conv, routed through the lane-packed Pallas depthwise
-    kernel (ops/dwconv.py) when the shape qualifies: stride-1 multiplier-1
-    depthwise convs at C < 128 are the FastViT stage-0/1 whale (37.5% lane
-    fill under XLA's grouped-conv lowering). The Pallas path consumes the
-    f32 kernel exactly (no bf16 weight rounding) and returns a ZERO kernel
-    cotangent — valid because every FastViT backbone conv is frozen in
-    every training mode (train/partition.py)."""
+    """One branch conv with measured-fast routing.
+
+    - stride-1 multiplier-1 depthwise at C < 128: optionally the
+      lane-packed Pallas kernel (ops/dwconv.py; opt-in — the round-5 A/B
+      measured solo dispatch as an end-to-end regression).
+    - stride-2 depthwise(-multiplier): XLA forward + the parity-decomposed
+      backward (:func:`_parity_bwd_dx`), replacing XLA's degenerate
+      transposed-conv lowering. Zero kernel cotangent — valid because
+      every FastViT backbone conv is frozen in every training mode
+      (train/partition.py)."""
     from dino_pose_tpu.ops import dwconv as DW
 
     bk = kernel.shape[0]
@@ -344,6 +430,15 @@ def dw_branch_conv(x: Array, kernel: Array, strides, groups) -> Array:
         and DW.dwconv_enabled(in_ch, hh, ww, bk, x.dtype.itemsize, batch=b_)
     ):
         return DW.dispatch_dw_conv(x, kernel)
+    if (
+        strides == (2, 2)
+        and kernel.shape[2] == 1
+        and groups == in_ch
+        and hh % 2 == 0
+        and ww % 2 == 0
+        and os.environ.get("DINO_POSE_TPU_DS_BWD", "1") != "0"
+    ):
+        return _dw_s2_conv_frozen(x, kernel)
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=strides,
         padding=[(bk // 2, bk // 2)] * 2,

@@ -49,7 +49,7 @@ def test_compute_pckh_dataset(data):
     full = compute_pckh_dataset(
         model, data / "images", data / "ann.json", batch_size=4, return_all=True
     )
-    assert set(full) == {"pckh", "pckh_z", "pck_bbox"}
+    assert set(full) == {"pckh", "pckh_z", "pck_bbox", "pckh_fc", "pck_bbox_fc"}
     assert full["pckh"] == pytest.approx(p2d, abs=1e-6)
     assert 0.0 <= full["pck_bbox"] <= 1.0
 

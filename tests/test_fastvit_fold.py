@@ -140,3 +140,62 @@ def test_fold_gradients_match(mode):
         ),
         gp_f, gp_r,
     )
+
+
+def test_stride2_parity_backward_matches_autodiff():
+    from dino_pose_tpu.models import fastvit_fold as F
+
+    """The parity-decomposed dx for stride-2 depthwise(-multiplier) convs
+    (fastvit_fold._dw_s2_conv_frozen) equals XLA's autodiff transpose, and
+    the conv kernel cotangent is exactly zero (frozen contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for (b, h, w, cin, mult, kk) in [
+        (2, 8, 8, 4, 2, 7),    # PatchEmbed large branch shape class
+        (2, 8, 12, 6, 2, 3),   # small branch, non-square
+        (1, 16, 16, 5, 1, 3),  # multiplier 1 (stem1 class)
+    ]:
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(kk, kk, 1, cin * mult)).astype(np.float32)
+        )
+        ct_shape = (b, h // 2, w // 2, cin * mult)
+        ct = jnp.asarray(rng.normal(size=ct_shape).astype(np.float32))
+
+        def ref(x_):
+            y = jax.lax.conv_general_dilated(
+                x_, k, (2, 2), [(kk // 2, kk // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=cin,
+            )
+            return jnp.vdot(y, ct)
+
+        g_ref = jax.grad(ref)(x)
+        g_k, g_kern = jax.grad(
+            lambda x_, k_: jnp.vdot(F._dw_s2_conv_frozen(x_, k_), ct),
+            argnums=(0, 1),
+        )(x, k)
+        np.testing.assert_allclose(g_k, g_ref, atol=2e-5, rtol=2e-5)
+        assert not np.any(np.asarray(g_kern))
+
+
+def test_dw_branch_conv_routes_stride2():
+    from dino_pose_tpu.models import fastvit_fold as F
+
+    """dw_branch_conv forwards identically through the stride-2 custom-vjp
+    route and falls back to plain XLA when DINO_POSE_TPU_DS_BWD=0."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(7, 7, 1, 8)).astype(np.float32))
+    got = F.dw_branch_conv(x, k, (2, 2), 4)
+    os.environ["DINO_POSE_TPU_DS_BWD"] = "0"
+    try:
+        ref = F.dw_branch_conv(x, k, (2, 2), 4)
+    finally:
+        os.environ.pop("DINO_POSE_TPU_DS_BWD", None)
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
