@@ -531,11 +531,19 @@ class ConvLoRA(nn.Module):
         y = L.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
             y, deterministic=deterministic
         )
-        y = nn.Conv(
-            out_features, kernel_size=(1, 1), use_bias=False,
-            kernel_init=nn.initializers.zeros, name="lora_B",
-        )(y)
-        return y * (self.alpha / self.rank)
+        # Explicit compute-dtype conv for lora_B: flax's nn.Conv promotes
+        # bf16 activations x f32 kernel to an f32 OUTPUT, which dragged the
+        # whole downstream FFN chain (gelu, fc2, residual and their
+        # backwards) into full-hidden f32 passes at the unfused stages
+        # (round-5 trace). The fused ConvFFN kernel already stages LoRA in
+        # the compute dtype (ops/convffn.py), so this also aligns the two
+        # paths' numerics.
+        bk = F.ZeroConvParams(out_features, (1, 1), name="lora_B")(self.rank)
+        y = jax.lax.conv_general_dilated(
+            y.astype(x.dtype), bk.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y * jnp.asarray(self.alpha / self.rank, x.dtype)
 
 
 class ConvLoRAParams(nn.Module):
