@@ -165,7 +165,10 @@ def bench_infer(model_name: str, iters: int = 50, image_size: int = 224) -> dict
 
         return run
 
-    n_lo, n_hi = 8, 40
+    # Batch-1 forwards are ~0.2-2 ms on device; the chain lengths must put
+    # the marginal signal (n_hi - n_lo) * device_ms well above the ~2-3 ms
+    # tunnel wall-clock jitter or the difference goes negative.
+    n_lo, n_hi = 40, 360
     runs = {n: chained(n) for n in (n_lo, n_hi)}
     walls = {}
     for n, run in runs.items():

@@ -16,7 +16,5 @@ done
 # for the production models.
 for M in facebook/dinov2-small facebook/dinov2-base timm/fastvit_t8.apple_in1k \
          timm/fastvit_sa12.apple_in1k timm/fastvit_ma36.apple_in1k; do
-  SIZE=224
-  case "$M" in timm/*) SIZE=256;; esac
-  python bench.py --mode infer --model "$M" --image_size "$SIZE"
+  python bench.py --mode infer --model "$M"
 done
